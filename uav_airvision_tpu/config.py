@@ -1,0 +1,238 @@
+"""Configuration tree for the TPU-native stereo VIO framework.
+
+Mirrors every parameter of the reference configuration
+(reference: src/config.py:7-123) as frozen dataclasses, and adds the static
+capacity constants that the fixed-shape XLA design needs (the reference grows
+Python lists/dicts dynamically; we pre-allocate and mask instead).
+
+Everything here is host-side, serializable, and hashable so a config can be a
+``static_argnum`` of a jitted step function.  The calibration block is exposed
+both as tuples (hashable, static) and via ``numpy`` helpers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+Mat4 = Tuple[Tuple[float, ...], ...]
+
+
+def _t4(a) -> Mat4:
+    return tuple(tuple(float(x) for x in row) for row in np.asarray(a, dtype=np.float64))
+
+
+# EuRoC / Kalibr calibration (reference src/config.py:93-123).
+_T_IMU_CAM0 = (
+    (0.014865542981794, 0.999557249008346, -0.025774436697440, 0.065222909535531),
+    (-0.999880929698575, 0.014967213324719, 0.003756188357967, -0.020706385492719),
+    (0.004140296794224, 0.025715529947966, 0.999660727177902, -0.008054602460030),
+    (0.0, 0.0, 0.0, 1.0),
+)
+_T_IMU_CAM1 = (
+    (0.012555267089103, 0.999598781151433, -0.025389800891747, -0.044901980682509),
+    (-0.999755099723116, 0.013011905181504, 0.017900583825251, -0.020569771258915),
+    (0.018223771455443, 0.025158836311552, 0.999517347077547, -0.008638135126028),
+    (0.0, 0.0, 0.0, 1.0),
+)
+_T_CN_CNM1 = (
+    (0.999997256477881, 0.002312067192424, 0.000376008102415, -0.110073808127187),
+    (-0.002317135723281, 0.999898048506644, 0.014089835846648, 0.000399121547014),
+    (-0.000343393120525, -0.014090668452714, 0.999900662637729, -0.000853702503357),
+    (0.0, 0.0, 0.0, 1.0),
+)
+_EYE4 = ((1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0), (0.0, 0.0, 0.0, 1.0))
+
+
+@dataclass(frozen=True)
+class TriangulationConfig:
+    """Feature-position LM optimization (reference src/config.py:7-17)."""
+
+    translation_threshold: float = -1.0  # <0 disables the motion check
+    huber_epsilon: float = 0.01
+    estimation_precision: float = 5e-7
+    initial_damping: float = 1e-3
+    outer_loop_max_iteration: int = 5
+    inner_loop_max_iteration: int = 5
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Image-processing front-end parameters (reference src/config.py:23-44)."""
+
+    grid_row: int = 4
+    grid_col: int = 5
+    grid_min_feature_num: int = 3
+    grid_max_feature_num: int = 5
+    fast_threshold: int = 15
+    ransac_threshold: float = 3.0  # dead in the reference (all-ones RANSAC)
+    stereo_threshold: float = 5.0
+    lk_max_iteration: int = 30
+    lk_track_precision: float = 0.01
+    pyramid_levels: int = 3  # LK maxLevel; pyramid has levels 0..3
+    patch_size: int = 15
+    # Hard-coded stereo-matcher cuts (reference stereo_matcher.py:75-80).
+    fwd_bwd_error_px: float = 3.0
+    max_vertical_disparity_px: float = 20.0
+    # OpenCV LK minimum-eigenvalue reject threshold (cv2 default).
+    lk_min_eig_threshold: float = 1e-4
+
+    @property
+    def grid_num(self) -> int:
+        return self.grid_row * self.grid_col
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """MSCKF noise / window parameters (reference src/config.py:49-87)."""
+
+    gravity_acc: float = 9.81
+    frame_rate: float = 20.0
+    max_cam_state_size: int = 20
+    position_std_threshold: float = 2.0  # online-reset trigger; <=0 disables
+
+    # Keyframe selection thresholds (reference src/config.py:67-69).
+    rotation_threshold: float = 0.15
+    translation_threshold: float = 0.2
+    tracking_rate_threshold: float = 0.5
+
+    # Noise variances (not std devs), reference src/config.py:72-76.
+    gyro_noise: float = 0.005**2
+    acc_noise: float = 0.05**2
+    gyro_bias_noise: float = 0.001**2
+    acc_bias_noise: float = 0.01**2
+    observation_noise: float = 0.035**2
+
+    # Initial covariance diagonal blocks (reference src/config.py:83-87).
+    velocity_cov: float = 0.25
+    gyro_bias_cov: float = 0.01
+    acc_bias_cov: float = 0.01
+    extrinsic_rotation_cov: float = 3.0462e-4
+    extrinsic_translation_cov: float = 2.5e-5
+
+
+@dataclass(frozen=True)
+class CalibrationConfig:
+    """Stereo rig calibration (reference src/config.py:93-123)."""
+
+    T_imu_cam0: Mat4 = _T_IMU_CAM0
+    T_imu_cam1: Mat4 = _T_IMU_CAM1
+    T_cn_cnm1: Mat4 = _T_CN_CNM1
+    T_imu_body: Mat4 = _EYE4
+    cam0_distortion_model: str = "radtan"
+    cam0_distortion_coeffs: Tuple[float, ...] = (
+        -0.28340811,
+        0.07395907,
+        0.00019359,
+        1.76187114e-05,
+    )
+    cam0_intrinsics: Tuple[float, ...] = (458.654, 457.296, 367.215, 248.375)
+    cam0_resolution: Tuple[int, int] = (752, 480)
+    cam1_distortion_model: str = "radtan"
+    cam1_distortion_coeffs: Tuple[float, ...] = (
+        -0.28368365,
+        0.07451284,
+        -0.00010473,
+        -3.55590700e-05,
+    )
+    cam1_intrinsics: Tuple[float, ...] = (457.587, 456.134, 379.999, 255.238)
+    cam1_resolution: Tuple[int, int] = (752, 480)
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static shape capacities for the fixed-shape, masked XLA design.
+
+    The reference grows/shrinks Python containers per frame; under jit every
+    shape must be static, so each dynamic structure becomes a padded array
+    with a validity mask.  These bounds were sized from the reference's own
+    invariants (grid 4x5 * 5 features, <=20 cam states, the 1500-row
+    Jacobian-stack cap at reference src/msckf.py:667).
+    """
+
+    max_features: int = 128  # front-end feature slots (>= grid_num * grid_max = 100)
+    max_map_features: int = 256  # estimator map-server slots
+    max_cam_states: int = 20  # sliding window (== max_cam_state_size)
+    max_imu_per_frame: int = 64  # padded per-frame IMU slice
+    max_lost_per_frame: int = 64  # features marginalized per frame
+    max_update_rows: int = 1680  # 1500-row cap + one 77-row block, rounded
+    max_prune_rows: int = 848  # prune-update row buffer
+    fast_candidates: int = 1024  # detector candidates kept on first frame
+    imu_init_msgs: int = 200  # msgs for gravity/bias init (ref msckf.py:173)
+
+    @property
+    def state_dim(self) -> int:
+        return 21 + 6 * self.max_cam_states
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level configuration, EuRoC defaults."""
+
+    triangulation: TriangulationConfig = field(default_factory=TriangulationConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    calib: CalibrationConfig = field(default_factory=CalibrationConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    dtype: str = "float32"  # filter/compute dtype ("float32" | "float64")
+
+    # ------------------------------------------------------------------
+    # numpy helpers (host side)
+    # ------------------------------------------------------------------
+    def np_T_imu_cam0(self):
+        return np.asarray(self.calib.T_imu_cam0, dtype=np.float64)
+
+    def np_T_imu_cam1(self):
+        return np.asarray(self.calib.T_imu_cam1, dtype=np.float64)
+
+    def np_T_cn_cnm1(self):
+        return np.asarray(self.calib.T_cn_cnm1, dtype=np.float64)
+
+    def np_T_imu_body(self):
+        return np.asarray(self.calib.T_imu_body, dtype=np.float64)
+
+    def np_gravity(self):
+        return np.array([0.0, 0.0, -self.filter.gravity_acc], dtype=np.float64)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+
+        def _de(cls, dd):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                v = dd[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in (
+                    "triangulation",
+                    "frontend",
+                    "filter",
+                    "calib",
+                    "capacity",
+                ):
+                    sub = {
+                        "triangulation": TriangulationConfig,
+                        "frontend": FrontendConfig,
+                        "filter": FilterConfig,
+                        "calib": CalibrationConfig,
+                        "capacity": CapacityConfig,
+                    }[f.name]
+                    kw[f.name] = _de(sub, v)
+                elif isinstance(v, list):
+                    kw[f.name] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+                else:
+                    kw[f.name] = v
+            return cls(**kw)
+
+        return _de(Config, d)
+
+
+def euroc_config(**overrides) -> Config:
+    """The EuRoC default configuration (reference ConfigEuRoC)."""
+    return dataclasses.replace(Config(), **overrides)
