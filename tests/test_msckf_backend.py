@@ -1,0 +1,119 @@
+"""Golden-value tests: fixed-shape JAX MSCKF vs the float64 NumPy oracle on a
+synthetic scenario, plus float32 stability checks."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uav_airvision_tpu.config import euroc_config
+from uav_airvision_tpu.models.msckf.state import make_params, init_state
+from uav_airvision_tpu.models.msckf.step import backend_step, FrameInput
+from tests.oracle.msckf_oracle import MsckfOracle
+from tests.oracle.synthetic import make_scenario, window_imu
+
+
+def _run_jax(cfg, scenario, n_frames, dtype):
+    params = make_params(cfg, dtype=dtype)
+    state = init_state(cfg, params, scenario.gyro_bias, scenario.acc_mean, dtype=dtype)
+    cap = cfg.capacity
+    step = jax.jit(functools.partial(backend_step, params=params, config=cfg))
+
+    # frames become active once 200 IMU msgs (1s) have arrived
+    active = [t >= scenario.imu[cfg.capacity.imu_init_msgs - 1][0] for t, _ in scenario.frames]
+    windows = window_imu(scenario, active)
+
+    outs = []
+    K = cap.max_features
+    for k in range(n_frames):
+        t, meas = scenario.frames[k]
+        _, window = windows[k]
+        I = cap.max_imu_per_frame
+        imu_t = np.zeros(I)
+        imu_w = np.zeros((I, 3))
+        imu_a = np.zeros((I, 3))
+        imu_mask = np.zeros(I, bool)
+        for j, (mt, w, a) in enumerate(window[:I]):
+            imu_t[j], imu_w[j], imu_a[j], imu_mask[j] = mt, w, a, True
+        ids = np.full(K, -1, np.int32)
+        uv = np.zeros((K, 4))
+        fm = np.zeros(K, bool)
+        for j, (fid, u0, v0, u1, v1) in enumerate(meas[:K]):
+            ids[j], uv[j], fm[j] = fid, (u0, v0, u1, v1), True
+        frame = FrameInput(
+            timestamp=jnp.asarray(t, dtype),
+            imu_t=jnp.asarray(imu_t, dtype),
+            imu_w=jnp.asarray(imu_w, dtype),
+            imu_a=jnp.asarray(imu_a, dtype),
+            imu_mask=jnp.asarray(imu_mask),
+            feat_ids=jnp.asarray(ids),
+            feat_uv=jnp.asarray(uv, dtype),
+            feat_mask=jnp.asarray(fm),
+            active=jnp.asarray(active[k]),
+        )
+        state, out = step(state, frame)
+        if bool(out.active):
+            outs.append((float(out.timestamp), np.asarray(out.q), np.asarray(out.p),
+                         np.asarray(out.v)))
+    return outs, state
+
+
+def _run_oracle(cfg, scenario, n_frames):
+    oracle = MsckfOracle(cfg, scenario.gyro_bias, scenario.acc_mean)
+    active = [t >= scenario.imu[cfg.capacity.imu_init_msgs - 1][0] for t, _ in scenario.frames]
+    windows = window_imu(scenario, active)
+    outs = []
+    for k in range(n_frames):
+        t, meas = scenario.frames[k]
+        if not active[k]:
+            continue
+        _, window = windows[k]
+        outs.append(oracle.feature_frame(t, window, meas))
+    return outs, oracle
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    return make_scenario(euroc_config(), duration=6.0, seed=3)
+
+
+def test_backend_matches_oracle_float64(scenario):
+    cfg = euroc_config(dtype="float64")
+    n = len(scenario.frames)
+    jax_out, _ = _run_jax(cfg, scenario, n, jnp.float64)
+    ora_out, _ = _run_oracle(cfg, scenario, n)
+    assert len(jax_out) == len(ora_out) > 50
+
+    pos_err = []
+    for (tj, qj, pj, vj), (to, qo, po, vo) in zip(jax_out, ora_out):
+        assert tj == to
+        pos_err.append(np.linalg.norm(pj - po))
+    pos_err = np.array(pos_err)
+    # same algorithm, both float64 — only fp-ordering noise should remain
+    assert pos_err.max() < 5e-4, f"max deviation from oracle {pos_err.max():.2e}"
+
+    # both should also track the ground truth well
+    gt = {t: p for t, p, q in scenario.gt}
+    ate = np.array([np.linalg.norm(pj - gt[tj]) for tj, _, pj, _ in jax_out])
+    assert ate.max() < 0.05, f"ATE too large: {ate.max():.3f} m"
+
+
+def test_backend_float32_stays_stable(scenario):
+    cfg = euroc_config()  # float32
+    n = len(scenario.frames)
+    jax_out, state = _run_jax(cfg, scenario, n, jnp.float32)
+    ora_out, _ = _run_oracle(euroc_config(dtype="float64"), scenario, n)
+    # f32 vs f64 oracle: bounded drift
+    errs = [np.linalg.norm(pj - po) for (_, _, pj, _), (_, _, po, _) in zip(jax_out, ora_out)]
+    assert np.isfinite(np.asarray(state.cov)).all()
+    assert max(errs) < 0.02, f"float32 drift too large: {max(errs):.4f} m"
+
+
+def test_window_prunes_and_features_bounded(scenario):
+    cfg = euroc_config()
+    n = len(scenario.frames)
+    _, state = _run_jax(cfg, scenario, n, jnp.float32)
+    assert int(state.cams.count) <= cfg.filter.max_cam_state_size
+    assert int(jnp.sum(state.features.valid)) <= cfg.capacity.max_map_features

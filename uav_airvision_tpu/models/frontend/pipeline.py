@@ -1,0 +1,334 @@
+"""The image-processing front-end as one fused, fixed-shape XLA step.
+
+Replaces the reference's per-frame object choreography
+(ImageProcessingPipeline.stereo_callback, reference
+src/image_processing/pipeline.py:46-150) — pyramid build, first-frame
+initialization, temporal tracking, feature replenishment, per-cell pruning,
+normalized-coordinate publishing — with masked array ops over flat padded
+feature slots.  Feature slots are kept in publish order (cell-major), which
+makes the previous frame's flat order available for the reference's
+order-sensitive grid bookkeeping.
+
+Reference quirks preserved:
+* the RANSAC stage is a no-op (all-ones inliers, feature_tracker.py:135-136),
+* temporal-tracker bounds cull uses x > w-1, the stereo matcher uses x >= w,
+* the 7x7 detection mask skips features with x<3 or y<3 (numpy negative-slice
+  behavior in feature_adder.py:59-62),
+* cells that do not overflow keep insertion order; overflowing cells are
+  reordered lifetime-descending by the pruner (feature_pruner.py:13-19).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...config import Config
+from ...ops import camera, fast, gridops, lk, pyramid
+from .params import FrontendParams
+from .stereo import stereo_match
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class FrontendState(NamedTuple):
+    ids: jnp.ndarray  # (F,) int32
+    lifetime: jnp.ndarray  # (F,) int32
+    cam0: jnp.ndarray  # (F,2)
+    cam1: jnp.ndarray  # (F,2)
+    valid: jnp.ndarray  # (F,)
+    next_id: jnp.ndarray  # () int32
+    prev_pyr: Tuple  # ((img, ix, iy), ...) previous cam0 pyramid
+    initialized: jnp.ndarray  # () bool
+
+
+class FrontendOutput(NamedTuple):
+    ids: jnp.ndarray  # (F,) int32
+    uv: jnp.ndarray  # (F,4) normalized [u0 v0 u1 v1]
+    mask: jnp.ndarray  # (F,)
+    # stage counters (reference num_features dict, feature_tracker.py:96-157)
+    before_tracking: jnp.ndarray
+    after_tracking: jnp.ndarray
+    after_matching: jnp.ndarray
+    after_ransac: jnp.ndarray
+
+
+def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
+    F = config.capacity.max_features
+    w, h = config.calib.cam0_resolution
+    levels = config.frontend.pyramid_levels
+    pyr = []
+    hh, ww = h, w
+    for _ in range(levels + 1):
+        z = jnp.zeros((hh, ww), jnp.float32)
+        pyr.append((z, z, z))
+        hh, ww = hh // 2, ww // 2
+    return FrontendState(
+        ids=jnp.full((F,), -1, jnp.int32),
+        lifetime=jnp.zeros((F,), jnp.int32),
+        cam0=jnp.zeros((F, 2), dtype),
+        cam1=jnp.zeros((F, 2), dtype),
+        valid=jnp.zeros((F,), bool),
+        next_id=jnp.zeros((), jnp.int32),
+        prev_pyr=tuple(pyr),
+        initialized=jnp.zeros((), bool),
+    )
+
+
+def rodrigues(rvec):
+    """Axis-angle -> rotation matrix (cv2.Rodrigues closed form)."""
+    theta = jnp.linalg.norm(rvec)
+    safe = jnp.where(theta > 1e-12, theta, 1.0)
+    k = rvec / safe
+    kx, ky, kz = k[0], k[1], k[2]
+    zero = jnp.zeros_like(kx)
+    K = jnp.stack(
+        [
+            jnp.stack([zero, -kz, ky]),
+            jnp.stack([kz, zero, -kx]),
+            jnp.stack([-ky, kx, zero]),
+        ]
+    )
+    R = (
+        jnp.eye(3, dtype=rvec.dtype)
+        + jnp.sin(theta) * K
+        + (1.0 - jnp.cos(theta)) * (K @ K)
+    )
+    return jnp.where(theta > 1e-12, R, jnp.eye(3, dtype=rvec.dtype))
+
+
+def predicted_rotations(mean_ang_vel, dt, params: FrontendParams):
+    """Inter-frame rotation prediction from the mean gyro rate (reference
+    imu_processor.integrate_imu_data, src/image_processing/imu_processor.py:28-67)."""
+    cam0_mean = params.R_cam0_imu.T @ mean_ang_vel
+    cam1_mean = params.R_cam1_imu.T @ mean_ang_vel
+    return rodrigues(cam0_mean * dt).T, rodrigues(cam1_mean * dt).T
+
+
+def _assign_ids_cell_major(cell, score, arrival, keep, next_id, n_cells):
+    """Ids handed out in (cell asc, score desc, arrival asc) order over kept
+    entries, like the reference's per-cell id assignment loops."""
+    big_cell = jnp.where(keep, cell, n_cells)
+    perm = jnp.lexsort((arrival, -score, big_cell))
+    keep_sorted = keep[perm]
+    rank_sorted = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1
+    ids_sorted = jnp.where(keep_sorted, next_id + rank_sorted, -1)
+    ids = jnp.zeros_like(ids_sorted).at[perm].set(ids_sorted)
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    return ids, n_kept
+
+
+def _detection_candidates(img, mask, config: Config, per_cell: int):
+    """FAST + NMS + per-cell top-k extraction.  Returns flat candidate arrays
+    (pts (C,2), score (C,), arrival (C,), valid (C,)) with C = cells*per_cell."""
+    fe = config.frontend
+    keep, score = fast.detect_fast(img, fe.fast_threshold, mask=mask)
+    ys, xs, vals = gridops.dense_grid_topk(
+        score.astype(jnp.int32), fe.grid_row, fe.grid_col, per_cell
+    )
+    C = fe.grid_num * per_cell
+    ys = ys.reshape(C)
+    xs = xs.reshape(C)
+    vals = vals.reshape(C)
+    W = img.shape[1]
+    pts = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+    arrival = ys * W + xs  # row-major detection order (cv2 tie-break)
+    return pts, vals, arrival, vals > 0
+
+
+def _detection_mask(img_shape, pts, valid):
+    """True = detection allowed.  7x7 exclusion window around each feature via
+    point scatter + separable dilation; features with int(x)<3 or int(y)<3 do
+    not mask (reference numpy negative-slice quirk)."""
+    H, W = img_shape
+    ix = jnp.floor(pts[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(pts[:, 1]).astype(jnp.int32)
+    ok = valid & (ix >= 3) & (iy >= 3)
+    ix = jnp.where(ok, ix, W)  # out-of-range -> dropped
+    iy = jnp.where(ok, iy, H)
+    pm = jnp.zeros((H, W), bool).at[iy, ix].set(True, mode="drop")
+    # 7x7 dilation, separable
+    d = pm
+    for axis, n in ((0, H), (1, W)):
+        acc = d
+        for s in range(1, 4):
+            acc = acc | jnp.roll(d, s, axis=axis) | jnp.roll(d, -s, axis=axis)
+        d = acc
+    # jnp.roll wraps; border effects are confined to 3px bands which FAST
+    # ignores anyway
+    return ~d
+
+
+def _normalize_publish(state_ids, lifetime, cam0, cam1, valid,
+                       params: FrontendParams, config: Config):
+    und0 = camera.undistort_points(
+        cam0, params.cam0_intrinsics, config.calib.cam0_distortion_model,
+        params.cam0_coeffs,
+    )
+    und1 = camera.undistort_points(
+        cam1, params.cam1_intrinsics, config.calib.cam1_distortion_model,
+        params.cam1_coeffs,
+    )
+    uv = jnp.concatenate([und0, und1], axis=-1)
+    return jnp.where(valid, state_ids, -1), jnp.where(valid[:, None], uv, 0.0), valid
+
+
+def frontend_step(
+    state: FrontendState,
+    cam0_img, cam1_img,  # (H,W) uint8/float
+    mean_ang_vel, dt,  # IMU window summary for rotation prediction
+    params: FrontendParams,
+    config: Config,
+):
+    """One stereo frame through the front-end.  Returns (state, FrontendOutput)."""
+    fe = config.frontend
+    cap = config.capacity
+    F = cap.max_features
+    n_cells = fe.grid_num
+    H, W = cam0_img.shape
+
+    pyr0 = tuple(pyramid.build_pyramid_with_derivs(cam0_img, fe.pyramid_levels))
+    pyr1 = tuple(pyramid.build_pyramid_with_derivs(cam1_img, fe.pyramid_levels))
+
+    NEW = n_cells * fe.grid_min_feature_num  # new-feature slots per frame
+    CAND_INIT = 8  # per-cell candidates on the first frame (see docstring)
+    CAND_ADD = fe.grid_max_feature_num
+
+    def first_frame(state):
+        """Reference FeatureInitializer.initialize_first_frame
+        (feature_initializer.py:45-85).  The reference stereo-matches every
+        FAST detection; we pre-select the top-8 per cell (>= the 3 kept), a
+        shape-bounding approximation."""
+        pts, score, arrival, vald = _detection_candidates(
+            pyr0[0][0], None, config, CAND_INIT
+        )
+        cam1_pts, inlier = stereo_match(pyr0, pyr1, pts, vald, params, config)
+        cell = gridops.cell_of_points(pts, fe.grid_row, fe.grid_col, H, W)
+        rank, _ = gridops.rank_in_cell(cell, score.astype(jnp.float32),
+                                       arrival, inlier, n_cells)
+        keep = inlier & (rank < fe.grid_min_feature_num)
+        ids, n_kept = _assign_ids_cell_major(cell, score.astype(jnp.float32),
+                                             arrival, keep, state.next_id, n_cells)
+        # compact to state slots in id order (== cell-major publish order)
+        order = jnp.argsort(jnp.where(keep, ids, INT32_MAX))
+        sel = order[:F]
+        selm = keep[sel]
+        new_state = state._replace(
+            ids=jnp.where(selm, ids[sel], -1),
+            lifetime=jnp.where(selm, 1, 0),
+            cam0=jnp.where(selm[:, None], pts[sel], 0.0),
+            cam1=jnp.where(selm[:, None], cam1_pts[sel], 0.0),
+            valid=selm,
+            next_id=state.next_id + n_kept,
+            initialized=jnp.ones((), bool),
+        )
+        zero = jnp.zeros((), jnp.int32)
+        counters = (zero, zero, zero, zero)
+        return new_state, counters
+
+    def track_frame(state):
+        """Reference FeatureTracker.track_features + FeatureAdder +
+        FeaturePruner (feature_tracker.py:74-157, feature_adder.py:52-108,
+        feature_pruner.py:8-19)."""
+        cam0_R_p_c, _ = predicted_rotations(mean_ang_vel, dt, params)
+
+        prev_pts = state.cam0
+        prev_valid = state.valid
+        before_tracking = jnp.sum(prev_valid.astype(jnp.int32))
+
+        pred = camera.homography_warp_points(prev_pts, cam0_R_p_c,
+                                             params.cam0_intrinsics)
+        curr, st = lk.pyramidal_lk(
+            state.prev_pyr, pyr0, prev_pts, pred, prev_valid,
+            win=fe.patch_size, max_iter=fe.lk_max_iteration,
+            eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
+        )
+        st = st & (curr[:, 0] >= 0) & (curr[:, 0] <= W - 1) \
+                & (curr[:, 1] >= 0) & (curr[:, 1] <= H - 1)
+        after_tracking = jnp.sum(st.astype(jnp.int32))
+
+        cam1_curr, match = stereo_match(pyr0, pyr1, curr, st, params, config)
+        tracked = st & match
+        after_matching = jnp.sum(tracked.astype(jnp.int32))
+        # RANSAC stage: all-ones in the reference -> pass-through
+        after_ransac = after_matching
+
+        tr_cell = gridops.cell_of_points(curr, fe.grid_row, fe.grid_col, H, W)
+        tr_life = state.lifetime + 1
+
+        # ---- feature adder ----
+        det_mask = _detection_mask((H, W), curr, tracked)
+        apts, ascore, aarrival, avalid = _detection_candidates(
+            pyr0[0][0], det_mask, config, CAND_ADD
+        )
+        acam1, ainlier = stereo_match(pyr0, pyr1, apts, avalid, params, config)
+        acell = gridops.cell_of_points(apts, fe.grid_row, fe.grid_col, H, W)
+        arank, _ = gridops.rank_in_cell(acell, ascore.astype(jnp.float32),
+                                        aarrival, ainlier, n_cells)
+        akeep = ainlier & (arank < fe.grid_min_feature_num)
+        aids, a_kept = _assign_ids_cell_major(
+            acell, ascore.astype(jnp.float32), aarrival, akeep,
+            state.next_id, n_cells,
+        )
+
+        # ---- combine tracked + new, prune per cell ----
+        C = apts.shape[0]
+        all_cell = jnp.concatenate([tr_cell, acell])
+        all_life = jnp.concatenate([tr_life, jnp.ones((C,), jnp.int32)])
+        all_valid = jnp.concatenate([tracked, akeep])
+        all_ids = jnp.concatenate([state.ids, aids])
+        all_cam0 = jnp.concatenate([curr, apts])
+        all_cam1 = jnp.concatenate([cam1_curr, acam1])
+        # insertion order: tracked in prev-flat order, then new by (cell,rank)
+        new_arrival, _ = gridops.rank_in_cell(
+            acell, ascore.astype(jnp.float32), aarrival, akeep, n_cells
+        )
+        arrival = jnp.concatenate(
+            [jnp.arange(F, dtype=jnp.int32), F + new_arrival.astype(jnp.int32)]
+        )
+
+        # per-cell counts decide pruner reordering (quirk: only overflowing
+        # cells get lifetime-sorted)
+        onehot = (all_cell[:, None] == jnp.arange(n_cells)[None, :]) & all_valid[:, None]
+        cell_count = jnp.sum(onehot.astype(jnp.int32), axis=0)  # (n_cells,)
+        overflow = cell_count > fe.grid_max_feature_num
+        of_this = jnp.where(all_valid, overflow[jnp.clip(all_cell, 0, n_cells - 1)], False)
+        sort_life = jnp.where(of_this, all_life, 0)  # stable: non-overflow keeps order
+        prank, _ = gridops.rank_in_cell(
+            all_cell, sort_life.astype(jnp.float32), arrival, all_valid, n_cells
+        )
+        keep = all_valid & (prank < fe.grid_max_feature_num)
+
+        # ---- compact into state slots in publish order ----
+        big_cell = jnp.where(keep, all_cell, n_cells)
+        pkey = jnp.lexsort((arrival, -sort_life, big_cell))
+        sel = pkey[:F]
+        selm = keep[sel]
+        new_state = state._replace(
+            ids=jnp.where(selm, all_ids[sel], -1),
+            lifetime=jnp.where(selm, all_life[sel], 0),
+            cam0=jnp.where(selm[:, None], all_cam0[sel], 0.0),
+            cam1=jnp.where(selm[:, None], all_cam1[sel], 0.0),
+            valid=selm,
+            next_id=state.next_id + a_kept,
+        )
+        counters = (before_tracking, after_tracking, after_matching, after_ransac)
+        return new_state, counters
+
+    state2, counters = lax.cond(state.initialized, track_frame, first_frame, state)
+    state2 = state2._replace(prev_pyr=pyr0)
+
+    ids, uv, mask = _normalize_publish(
+        state2.ids, state2.lifetime, state2.cam0, state2.cam1, state2.valid,
+        params, config,
+    )
+    out = FrontendOutput(
+        ids=ids, uv=uv, mask=mask,
+        before_tracking=counters[0], after_tracking=counters[1],
+        after_matching=counters[2], after_ransac=counters[3],
+    )
+    return state2, out

@@ -1,0 +1,91 @@
+"""Stereo matching: cam0 -> cam1 correspondence by seeded LK + geometric cuts.
+
+Reproduces the reference StereoMatcher (src/image_processing/stereo_matcher.py:33-115)
+with all of its quirks, vectorized over a fixed-size point batch:
+
+* seed cam1 points by rotating undistorted cam0 points through
+  R0to1 = R_cam1_imu^T @ R_cam0_imu, then re-distorting **with the cam0
+  model** (reference :49-61),
+* forward LK cam0->cam1 and backward LK cam1->cam0; the backward LK's own
+  status flag is *ignored*, only the fwd/bwd position error is used
+  (reference :64-77 — rev_mask is unused there),
+* inliers: fwd status & fwd/bwd error < 3 px & vertical disparity < 20 px
+  (hard-coded, reference :75-80) & inside image (x<0 or x>=w culls, :82-88),
+* epipolar residual exactly as written in the reference (:90-113) including
+  the elementwise-product-then-[0] expression — NOT a point-line distance —
+  and undistorting the cam1 points with the cam0 intrinsics (:98-102).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...config import Config
+from ...ops import camera, lk
+from ...utils import quaternion as quat
+from .params import FrontendParams
+
+
+def stereo_match(
+    pyr0, pyr1,  # pyramids with derivs [(img, ix, iy)]
+    cam0_pts, valid,  # (B,2), (B,)
+    params: FrontendParams,
+    config: Config,
+):
+    """Returns (cam1_pts (B,2), inlier (B,))."""
+    fe = config.frontend
+    h, w = pyr0[0][0].shape
+
+    R0to1 = params.R_cam1_imu.T @ params.R_cam0_imu
+
+    und0_rect = camera.undistort_points(
+        cam0_pts, params.cam0_intrinsics, config.calib.cam0_distortion_model,
+        params.cam0_coeffs, rectification=R0to1,
+    )
+    proj1 = camera.distort_points(
+        und0_rect, params.cam0_intrinsics, config.calib.cam0_distortion_model,
+        params.cam0_coeffs,
+    )
+
+    p1, st_fwd = lk.pyramidal_lk(
+        pyr0, pyr1, cam0_pts, proj1, valid,
+        win=fe.patch_size, max_iter=fe.lk_max_iteration,
+        eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
+    )
+    p0r, _ = lk.pyramidal_lk(
+        pyr1, pyr0, p1, cam0_pts, valid,
+        win=fe.patch_size, max_iter=fe.lk_max_iteration,
+        eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
+    )
+
+    err = jnp.linalg.norm(cam0_pts - p0r, axis=-1)
+    disp = jnp.abs(proj1[:, 1] - p1[:, 1])
+    inlier = (
+        valid
+        & st_fwd
+        & (err < fe.fwd_bwd_error_px)
+        & (disp < fe.max_vertical_disparity_px)
+    )
+    inlier = inlier & (p1[:, 0] >= 0) & (p1[:, 0] < w) & (p1[:, 1] >= 0) & (p1[:, 1] < h)
+
+    # epipolar residual, reference expression preserved verbatim
+    t01 = params.R_cam1_imu.T @ (params.t_cam0_imu - params.t_cam1_imu)
+    E = quat.skew(t01) @ R0to1
+    und0 = camera.undistort_points(
+        cam0_pts, params.cam0_intrinsics, config.calib.cam0_distortion_model,
+        params.cam0_coeffs,
+    )
+    und1 = camera.undistort_points(
+        p1, params.cam0_intrinsics, config.calib.cam0_distortion_model,
+        params.cam0_coeffs,
+    )
+    fx, fy = params.cam0_intrinsics[0], params.cam0_intrinsics[1]
+    norm_unit = 4.0 / (2.0 * fx + 2.0 * fy)
+    ones = jnp.ones((und0.shape[0], 1), und0.dtype)
+    pt0_h = jnp.concatenate([und0, ones], axis=-1)
+    pt1_h = jnp.concatenate([und1, ones], axis=-1)
+    line = pt0_h @ E.T  # (B,3)
+    err_epi = jnp.abs(pt1_h[:, 0] * line[:, 0]) / jnp.linalg.norm(line[:, :2], axis=-1)
+    inlier = inlier & (err_epi <= fe.stereo_threshold * norm_unit)
+
+    return p1, inlier

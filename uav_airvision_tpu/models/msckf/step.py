@@ -1,0 +1,605 @@
+"""The fused per-frame MSCKF step: one compiled XLA program per stereo frame.
+
+This replaces the reference's per-frame Python orchestration
+(``MSCKF.feature_callback``, reference src/msckf.py:177-228) — propagation,
+state augmentation, feature bookkeeping, lost-feature marginalization, camera
+pruning, publish, online reset — with masked fixed-shape array ops suitable
+for ``jax.lax.scan`` over the whole sensor stream and ``vmap`` over VIO
+instances.
+
+Dynamic structures -> static equivalents:
+  map_server dict            -> FeatureTable slots + insertion-seq ordering
+  growing covariance         -> fixed (141,141), inactive rows/cols == 0
+  variable Jacobian stacking -> static row buffer + prefix-sum offsets,
+                                replicating the order-dependent 1500-row cap
+                                (reference src/msckf.py:667)
+  del-based pruning          -> gather/permutation + mask updates
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...config import Config
+from ...utils import quaternion as quat
+from . import triangulation as tri
+from .propagation import propagate
+from .state import IMU_DIM, CamWindow, FeatureTable, FilterState, MsckfParams, reset_cov
+from .update import apply_update, feature_block, gating_test
+from ...utils.lax_helpers import dyn_update
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class FrameInput(NamedTuple):
+    """One prebatched frame (host-side assembly in streaming/prebatch.py)."""
+
+    timestamp: jnp.ndarray  # ()
+    imu_t: jnp.ndarray  # (I,)
+    imu_w: jnp.ndarray  # (I,3)
+    imu_a: jnp.ndarray  # (I,3)
+    imu_mask: jnp.ndarray  # (I,)
+    feat_ids: jnp.ndarray  # (K,) int32
+    feat_uv: jnp.ndarray  # (K,4) normalized stereo measurement
+    feat_mask: jnp.ndarray  # (K,)
+    active: jnp.ndarray  # () bool — gravity initialized; process this frame
+
+
+class StepOutput(NamedTuple):
+    timestamp: jnp.ndarray
+    q: jnp.ndarray  # (4,) world->IMU orientation
+    p: jnp.ndarray  # (3,) position
+    v: jnp.ndarray  # (3,) velocity
+    active: jnp.ndarray  # () bool — row corresponds to a processed frame
+    warn_large_update: jnp.ndarray  # () bool
+    did_reset: jnp.ndarray  # () bool
+    n_cams: jnp.ndarray  # () int32
+    n_features: jnp.ndarray  # () int32
+    n_lost_overflow: jnp.ndarray  # () int32 — lost features beyond capacity
+
+
+# ---------------------------------------------------------------------------
+# state augmentation (reference src/msckf.py:390-423)
+# ---------------------------------------------------------------------------
+
+
+def augment_state(state: FilterState, t) -> FilterState:
+    imu = state.imu
+    cams = state.cams
+    dtype = state.cov.dtype
+
+    R_w_i = quat.to_rotation(imu.q)
+    R_w_c = imu.R_imu_cam0 @ R_w_i
+    t_c_w = imu.p + R_w_i.T @ imu.t_cam0_imu
+    q_c = quat.to_quaternion(R_w_c)
+
+    c = cams.count
+    cams = cams._replace(
+        sid=cams.sid.at[c].set(imu.sid),
+        q=cams.q.at[c].set(q_c),
+        p=cams.p.at[c].set(t_c_w),
+        q_null=cams.q_null.at[c].set(q_c),
+        p_null=cams.p_null.at[c].set(t_c_w),
+        timestamp=cams.timestamp.at[c].set(t),
+        count=c + 1,
+    )
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    J = jnp.zeros((6, IMU_DIM), dtype)
+    J = J.at[:3, :3].set(imu.R_imu_cam0)
+    J = J.at[:3, 15:18].set(eye3)
+    J = J.at[3:6, :3].set(quat.skew(R_w_i.T @ imu.t_cam0_imu))
+    J = J.at[3:6, 12:15].set(eye3)
+    J = J.at[3:6, 18:21].set(eye3)
+
+    P = state.cov
+    row0 = IMU_DIM + 6 * c
+    new_rows = J @ P[:IMU_DIM, :]  # (6, D)
+    corner = J @ P[:IMU_DIM, :IMU_DIM] @ J.T  # (6, 6)
+    P = dyn_update(P, new_rows, row0, 0)
+    P = dyn_update(P, new_rows.T, 0, row0)
+    P = dyn_update(P, corner, row0, row0)
+    P = (P + P.T) / 2.0
+    return state._replace(cams=cams, cov=P)
+
+
+# ---------------------------------------------------------------------------
+# feature observation upsert (reference src/msckf.py:425-441)
+# ---------------------------------------------------------------------------
+
+
+def add_observations(state: FilterState, feat_ids, feat_uv, feat_mask) -> FilterState:
+    table = state.features
+    M = table.fid.shape[0]
+    K = feat_ids.shape[0]
+    cslot = state.cams.count - 1
+
+    curr_num = jnp.sum(table.valid.astype(jnp.int32))
+
+    match = (
+        feat_mask[:, None]
+        & table.valid[None, :]
+        & (feat_ids[:, None] == table.fid[None, :])
+    )  # (K, M)
+    matched = jnp.any(match, axis=1)
+    m_idx = jnp.argmax(match, axis=1)
+    tracked = jnp.sum(matched.astype(jnp.int32))
+
+    # scatter tracked observations into (slot, cslot)
+    safe_idx = jnp.where(matched, m_idx, M)  # out-of-range -> dropped
+    obs = table.obs.at[safe_idx, cslot, :].set(feat_uv, mode="drop")
+    obs_mask = table.obs_mask.at[safe_idx, cslot].set(True, mode="drop")
+
+    # allocate new features in incoming order
+    new = feat_mask & ~matched
+    new_rank = jnp.cumsum(new.astype(jnp.int32)) - 1  # (K,)
+    n_new = jnp.sum(new.astype(jnp.int32))
+    free_pos = jnp.where(~table.valid, jnp.arange(M, dtype=jnp.int32), M)
+    free_sorted = jnp.sort(free_pos)  # first slots are free, ascending
+    tgt = jnp.where(new, free_sorted[jnp.clip(new_rank, 0, M - 1)], M)
+
+    fid = table.fid.at[tgt].set(feat_ids, mode="drop")
+    seq = table.seq.at[tgt].set(state.next_seq + new_rank, mode="drop")
+    obs = obs.at[tgt, cslot, :].set(feat_uv, mode="drop")
+    obs_mask = obs_mask.at[tgt, cslot].set(True, mode="drop")
+    valid = table.valid.at[tgt].set(True, mode="drop")
+    initialized = table.initialized.at[tgt].set(False, mode="drop")
+    position = table.position.at[tgt].set(0.0, mode="drop")
+
+    table = table._replace(
+        fid=fid, seq=seq, obs=obs, obs_mask=obs_mask, valid=valid,
+        initialized=initialized, position=position,
+    )
+    rate = tracked.astype(state.cov.dtype) / (curr_num.astype(state.cov.dtype) + 1e-5)
+    return state._replace(features=table, next_seq=(state.next_seq + n_new).astype(jnp.int32),
+                          tracking_rate=rate)
+
+
+# ---------------------------------------------------------------------------
+# lost-feature marginalization (reference remove_lost_features,
+# src/msckf.py:614-676)
+# ---------------------------------------------------------------------------
+
+
+def _triangulate_one(state: FilterState, params: MsckfParams, config: Config,
+                     slot, obs_sel_mask):
+    """check_motion + initialize_position for feature at ``slot`` using the
+    observations selected by ``obs_sel_mask`` for pose bookkeeping; the
+    reference always triangulates over ALL of the feature's observations."""
+    cams = state.cams
+    table = state.features
+    views = tri.build_views(
+        cams.q, cams.p, table.obs[slot], obs_sel_mask,
+        params.R_cam0_cam1, params.t_cam0_cam1,
+    )
+    cfg = config.triangulation
+    if cfg.translation_threshold < 0:
+        motion_ok = jnp.ones((), bool)
+    else:
+        first = jnp.argmax(obs_sel_mask)
+        first_z = table.obs[slot][first, :2]
+        motion_ok = tri.check_motion(views, obs_sel_mask, first_z, cfg, cams.q, cams.p)
+    pos, tri_ok = tri.triangulate(views, cfg)
+    return motion_ok, pos, tri_ok
+
+
+def remove_lost_features(state: FilterState, params: MsckfParams, config: Config):
+    cap = config.capacity
+    table = state.features
+    cams = state.cams
+    dtype = state.cov.dtype
+    M, N = table.obs_mask.shape
+    D = cap.state_dim
+    L = cap.max_lost_per_frame
+
+    cslot = cams.count - 1
+    seen_now = jnp.take_along_axis(table.obs_mask, jnp.full((M, 1), cslot), axis=1)[:, 0]
+    obs_count = jnp.sum(table.obs_mask.astype(jnp.int32), axis=1)
+
+    lost = table.valid & ~seen_now
+    drop_short = lost & (obs_count < 3)
+    cand = lost & (obs_count >= 3)
+
+    # map-order selection of up to L candidates
+    order = jnp.argsort(jnp.where(cand, table.seq, INT32_MAX))
+    sel = order[:L]
+    sel_mask = cand[sel]
+    n_overflow = jnp.maximum(jnp.sum(cand.astype(jnp.int32)) - L, 0).astype(jnp.int32)
+
+    # triangulate the not-yet-initialized selected features
+    def tri_one(slot, is_sel):
+        def run(_):
+            return _triangulate_one(state, params, config, slot, table.obs_mask[slot])
+
+        def skip(_):
+            return jnp.ones((), bool), jnp.zeros(3, dtype), jnp.zeros((), bool)
+
+        return lax.cond(is_sel & ~table.initialized[slot], run, skip, None)
+
+    motion_ok, new_pos, tri_ok = jax.vmap(tri_one)(sel, sel_mask)
+
+    need_init = sel_mask & ~table.initialized[sel]
+    init_fail = need_init & (~motion_ok | ~tri_ok)
+    init_done = need_init & motion_ok & tri_ok
+
+    position = table.position.at[sel].set(
+        jnp.where(init_done[:, None], new_pos, table.position[sel]), mode="drop"
+    )
+    initialized = table.initialized.at[sel].set(
+        table.initialized[sel] | init_done, mode="drop"
+    )
+    table = table._replace(position=position, initialized=initialized)
+    state = state._replace(features=table)
+
+    proc = sel_mask & ~init_fail  # features contributing measurement blocks
+
+    # per-feature projected blocks over ALL observations
+    def block_one(slot, is_proc):
+        def run(_):
+            H, r, rows = feature_block(
+                cams.q, cams.p, cams.q_null, cams.p_null,
+                table.obs[slot], table.obs_mask[slot], table.position[slot],
+                state.gravity, params.R_cam0_cam1, params.t_cam0_cam1, D,
+            )
+            n = jnp.sum(table.obs_mask[slot].astype(jnp.int32))
+            ok = gating_test(H, r, rows, state.cov, params.obs_noise,
+                             params.chi2_table, n - 1)
+            return H, r, rows, ok
+
+        def skip(_):
+            return (
+                jnp.zeros((4 * N - 3, D), dtype),
+                jnp.zeros((4 * N - 3,), dtype),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool),
+            )
+
+        return lax.cond(is_proc, run, skip, None)
+
+    H_blk, r_blk, rows_f, gate_ok = jax.vmap(block_one)(sel, proc)
+
+    include = proc & gate_ok
+    rows_inc = jnp.where(include, rows_f, 0)
+    prefix = jnp.cumsum(rows_inc) - rows_inc
+    include = include & (prefix <= 1500)  # order-dependent cap (ref :667)
+    rows_inc = jnp.where(include, rows_f, 0)
+
+    R_BUF = cap.max_update_rows
+    BLK = 4 * N - 3
+    H_buf = jnp.zeros((R_BUF, D), dtype)
+    r_buf = jnp.zeros((R_BUF,), dtype)
+    park = R_BUF - BLK  # scratch region beyond any real offset
+
+    def scatter(carry, i):
+        H_buf, r_buf = carry
+        off = jnp.where(include[i], prefix[i], park).astype(jnp.int32)
+        blk_H = jnp.where(include[i], H_blk[i], 0.0)
+        blk_r = jnp.where(include[i], r_blk[i], 0.0)
+        H_buf = dyn_update(H_buf, blk_H, off, 0)
+        r_buf = dyn_update(r_buf, blk_r, off)
+        return (H_buf, r_buf), None
+
+    (H_buf, r_buf), _ = lax.scan(scatter, (H_buf, r_buf), jnp.arange(L))
+
+    any_update = jnp.any(include)
+
+    def do_update(s):
+        return apply_update(s, params, H_buf, r_buf)
+
+    def no_update(s):
+        return s, jnp.zeros((), bool)
+
+    state, warn = lax.cond(any_update, do_update, no_update, state)
+
+    # delete: all <3-obs lost features AND every candidate (processed or not,
+    # selected or overflowed) — reference deletes all of them this frame.
+    table = state.features
+    remove = drop_short | cand
+    table = table._replace(
+        valid=table.valid & ~remove,
+        fid=jnp.where(remove, -1, table.fid),
+        seq=jnp.where(remove, INT32_MAX, table.seq),
+        obs_mask=table.obs_mask & ~remove[:, None],
+        initialized=table.initialized & ~remove,
+    )
+    return state._replace(features=table), warn, n_overflow
+
+
+# ---------------------------------------------------------------------------
+# camera-state pruning (reference src/msckf.py:678-786)
+# ---------------------------------------------------------------------------
+
+
+def _find_redundant(state: FilterState):
+    """Pick 2 camera positions to remove (reference find_redundant_cam_states,
+    src/msckf.py:678-709): either near-keyframe recent states or the oldest."""
+    cams = state.cams
+    count = cams.count
+    key_idx = count - 4
+    key_p = cams.p[key_idx]
+    key_R = quat.to_rotation(cams.q[key_idx])
+
+    def pick(carry, i):
+        first_idx, cam_idx = carry
+        p = cams.p[cam_idx]
+        R = quat.to_rotation(cams.q[cam_idx])
+        distance = jnp.linalg.norm(p - key_p)
+        rel_q = quat.to_quaternion(R @ key_R.T)
+        angle = 2.0 * jnp.arccos(jnp.clip(rel_q[3], -1.0, 1.0))
+        near = (angle < 0.2618) & (distance < 0.4) & (state.tracking_rate > 0.5)
+        rm = jnp.where(near, cam_idx, first_idx)
+        first_idx = jnp.where(near, first_idx, first_idx + 1)
+        return (first_idx, cam_idx + 1), rm
+
+    (_, _), rms = lax.scan(pick, (jnp.zeros((), jnp.int32), key_idx + 1), jnp.arange(2))
+    return jnp.sort(rms)
+
+
+def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
+    cap = config.capacity
+
+    def do_prune(state):
+        table = state.features
+        cams = state.cams
+        dtype = state.cov.dtype
+        M, N = table.obs_mask.shape
+        D = cap.state_dim
+
+        rm = _find_redundant(state)  # (2,) sorted positions
+        r0, r1 = rm[0], rm[1]
+
+        inv0 = table.obs_mask[:, :][jnp.arange(M)[:, None], rm[None, :]]  # (M,2)
+        k_inv = jnp.sum(inv0.astype(jnp.int32), axis=1) * table.valid.astype(jnp.int32)
+
+        two = table.valid & (k_inv == 2)
+
+        # triangulate uninitialized two-features over ALL their observations
+        def tri_one(slot):
+            def run(_):
+                return _triangulate_one(state, params, config, slot,
+                                        table.obs_mask[slot])
+
+            def skip(_):
+                return jnp.ones((), bool), jnp.zeros(3, dtype), jnp.zeros((), bool)
+
+            return lax.cond(two[slot] & ~table.initialized[slot], run, skip, None)
+
+        motion_ok, new_pos, tri_ok = jax.vmap(tri_one)(jnp.arange(M))
+        need_init = two & ~table.initialized
+        init_fail = need_init & (~motion_ok | ~tri_ok)
+        init_done = need_init & motion_ok & tri_ok
+
+        table = table._replace(
+            position=jnp.where(init_done[:, None], new_pos, table.position),
+            initialized=table.initialized | init_done,
+        )
+        state = state._replace(features=table)
+
+        proc = two & ~init_fail
+
+        # Jacobian blocks over the 2 involved cameras only.
+        cq = cams.q[rm]
+        cp = cams.p[rm]
+        cqn = cams.q_null[rm]
+        cpn = cams.p_null[rm]
+
+        def block_one(slot):
+            def run(_):
+                obs2 = table.obs[slot][rm]
+                mask2 = table.obs_mask[slot][rm]
+                H, r, rows = feature_block(
+                    cq, cp, cqn, cpn, obs2, mask2, table.position[slot],
+                    state.gravity, params.R_cam0_cam1, params.t_cam0_cam1, D,
+                )
+                # columns land at the involved cameras' true positions
+                Hc = jnp.zeros((5, D), dtype)
+                Hc = Hc + dyn_update(
+                    jnp.zeros((5, D), dtype), H[:, IMU_DIM : IMU_DIM + 6],
+                    0, IMU_DIM + 6 * r0,
+                )
+                Hc = Hc + dyn_update(
+                    jnp.zeros((5, D), dtype), H[:, IMU_DIM + 6 : IMU_DIM + 12],
+                    0, IMU_DIM + 6 * r1,
+                )
+                ok = gating_test(Hc, r, rows, state.cov, params.obs_noise,
+                                 params.chi2_table, jnp.asarray(2, jnp.int32))
+                return Hc, r, rows, ok
+
+            def skip(_):
+                return (
+                    jnp.zeros((5, D), dtype),
+                    jnp.zeros((5,), dtype),
+                    jnp.zeros((), jnp.int32),
+                    jnp.zeros((), bool),
+                )
+
+            return lax.cond(proc[slot], run, skip, None)
+
+        H_blk, r_blk, rows_f, gate_ok = jax.vmap(block_one)(jnp.arange(M))
+
+        include = proc & gate_ok
+        rows_inc = jnp.where(include, rows_f, 0)
+        # map (insertion) order
+        order = jnp.argsort(jnp.where(include, table.seq, INT32_MAX))
+        rows_ord = rows_inc[order]
+        prefix_ord = jnp.cumsum(rows_ord) - rows_ord
+        prefix = jnp.zeros((M,), jnp.int32).at[order].set(prefix_ord)
+
+        R_BUF = cap.max_prune_rows
+        H_buf = jnp.zeros((R_BUF, D), dtype)
+        r_buf = jnp.zeros((R_BUF,), dtype)
+        park = R_BUF - 5
+
+        def scatter(carry, i):
+            H_buf, r_buf = carry
+            slot = order[i]
+            off = jnp.where(include[slot], prefix[slot], park).astype(jnp.int32)
+            H_buf = dyn_update(H_buf, jnp.where(include[slot], H_blk[slot], 0.0), off, 0)
+            r_buf = dyn_update(r_buf, jnp.where(include[slot], r_blk[slot], 0.0), off)
+            return (H_buf, r_buf), None
+
+        (H_buf, r_buf), _ = lax.scan(scatter, (H_buf, r_buf), jnp.arange(M))
+
+        any_update = jnp.any(include)
+        state, warn = lax.cond(
+            any_update,
+            lambda s: apply_update(s, params, H_buf, r_buf),
+            lambda s: (s, jnp.zeros((), bool)),
+            state,
+        )
+
+        # delete involved observations for every feature (reference deletes
+        # them whether or not the update used them)
+        table = state.features
+        cams = state.cams  # rebind: apply_update corrected the window poses
+        obs_mask = table.obs_mask.at[:, r0].set(False).at[:, r1].set(False)
+
+        # compact the camera window + covariance: keep all slots except r0,r1
+        keep = jnp.where(
+            (jnp.arange(N) != r0) & (jnp.arange(N) != r1), jnp.arange(N), N
+        )
+        keep = jnp.sort(keep)[: N]  # kept positions ascending, pad N at tail
+        keep_safe = jnp.clip(keep, 0, N - 1)
+        live_new = jnp.arange(N) < (cams.count - 2)
+
+        unit_q = jnp.zeros((4,), dtype).at[3].set(1.0)
+        cams = CamWindow(
+            sid=jnp.where(live_new, cams.sid[keep_safe], -1),
+            q=jnp.where(live_new[:, None], cams.q[keep_safe], unit_q),
+            p=jnp.where(live_new[:, None], cams.p[keep_safe], 0.0),
+            q_null=jnp.where(live_new[:, None], cams.q_null[keep_safe], unit_q),
+            p_null=jnp.where(live_new[:, None], cams.p_null[keep_safe], 0.0),
+            timestamp=jnp.where(live_new, cams.timestamp[keep_safe], 0.0),
+            count=cams.count - 2,
+        )
+
+        # shift observation columns with the window
+        obs = jnp.where(
+            live_new[None, :, None], table.obs[:, keep_safe, :], 0.0
+        )
+        obs_mask = jnp.where(live_new[None, :], obs_mask[:, keep_safe], False)
+        table = table._replace(obs=obs, obs_mask=obs_mask)
+
+        # covariance permutation: state row index map
+        cam_rows = IMU_DIM + 6 * keep_safe[:, None] + jnp.arange(6)[None, :]
+        idx = jnp.concatenate([jnp.arange(IMU_DIM), cam_rows.reshape(-1)])
+        row_live = jnp.concatenate(
+            [jnp.ones(IMU_DIM, bool), jnp.repeat(live_new, 6)]
+        )
+        P = state.cov[idx][:, idx]
+        P = jnp.where(row_live[:, None] & row_live[None, :], P, 0.0)
+
+        return state._replace(cams=cams, features=table, cov=P), warn
+
+    def no_prune(state):
+        return state, jnp.zeros((), bool)
+
+    return lax.cond(
+        state.cams.count >= config.filter.max_cam_state_size, do_prune, no_prune, state
+    )
+
+
+# ---------------------------------------------------------------------------
+# online reset (reference src/msckf.py:821-843)
+# ---------------------------------------------------------------------------
+
+
+def online_reset(state: FilterState, params: MsckfParams, config: Config):
+    diag = jnp.diagonal(state.cov)
+    pos_std_max = jnp.sqrt(jnp.max(diag[12:15]))
+    trigger = (config.filter.position_std_threshold > 0) & (
+        pos_std_max >= config.filter.position_std_threshold
+    )
+
+    def do_reset(state):
+        dtype = state.cov.dtype
+        N = state.cams.q.shape[0]
+        M = state.features.fid.shape[0]
+        unit_q = jnp.zeros((N, 4), dtype).at[:, 3].set(1.0)
+        cams = CamWindow(
+            sid=jnp.full((N,), -1, jnp.int32),
+            q=unit_q,
+            p=jnp.zeros((N, 3), dtype),
+            q_null=unit_q,
+            p_null=jnp.zeros((N, 3), dtype),
+            timestamp=jnp.zeros((N,), dtype),
+            count=jnp.zeros((), jnp.int32),
+        )
+        feats = FeatureTable(
+            fid=jnp.full((M,), -1, jnp.int32),
+            seq=jnp.full((M,), INT32_MAX, jnp.int32),
+            obs=jnp.zeros_like(state.features.obs),
+            obs_mask=jnp.zeros_like(state.features.obs_mask),
+            position=jnp.zeros_like(state.features.position),
+            initialized=jnp.zeros_like(state.features.initialized),
+            valid=jnp.zeros_like(state.features.valid),
+        )
+        return state._replace(
+            cams=cams, features=feats, cov=reset_cov(config, params, dtype)
+        )
+
+    return lax.cond(trigger, do_reset, lambda s: s, state), trigger
+
+
+# ---------------------------------------------------------------------------
+# the per-frame step
+# ---------------------------------------------------------------------------
+
+
+def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
+                 config: Config):
+    """One stereo frame through the estimator (reference feature_callback,
+    src/msckf.py:177-228).  Returns (new_state, StepOutput)."""
+
+    def run(state):
+        # first processed frame anchors the clock (ref msckf.py:188-190)
+        imu = state.imu._replace(
+            timestamp=jnp.where(state.started, state.imu.timestamp, frame.timestamp)
+        )
+        state = state._replace(imu=imu, started=jnp.ones((), bool))
+
+        state = propagate(state, params, frame.imu_t, frame.imu_w, frame.imu_a,
+                          frame.imu_mask)
+        state = augment_state(state, frame.timestamp)
+        state = add_observations(state, frame.feat_ids, frame.feat_uv,
+                                 frame.feat_mask)
+        state, warn1, n_overflow = remove_lost_features(state, params, config)
+        state, warn2 = prune_cam_states(state, params, config)
+
+        out = StepOutput(
+            timestamp=frame.timestamp,
+            q=state.imu.q,
+            p=state.imu.p,
+            v=state.imu.v,
+            active=jnp.ones((), bool),
+            warn_large_update=warn1 | warn2,
+            did_reset=jnp.zeros((), bool),
+            n_cams=state.cams.count,
+            n_features=jnp.sum(state.features.valid.astype(jnp.int32)).astype(jnp.int32),
+            n_lost_overflow=n_overflow,
+        )
+        # publish happens before the online reset (ref msckf.py:225-228)
+        state, did_reset = online_reset(state, params, config)
+        return state, out._replace(did_reset=did_reset)
+
+    def skip(state):
+        dtype = state.cov.dtype
+        out = StepOutput(
+            timestamp=frame.timestamp,
+            q=jnp.zeros(4, dtype).at[3].set(1.0),
+            p=jnp.zeros(3, dtype),
+            v=jnp.zeros(3, dtype),
+            active=jnp.zeros((), bool),
+            warn_large_update=jnp.zeros((), bool),
+            did_reset=jnp.zeros((), bool),
+            n_cams=state.cams.count,
+            n_features=jnp.zeros((), jnp.int32),
+            n_lost_overflow=jnp.zeros((), jnp.int32),
+        )
+        return state, out
+
+    return lax.cond(frame.active, run, skip, state)

@@ -1,0 +1,91 @@
+"""FAST-9/16 corner detector as whole-image vectorized ops (VPU-friendly).
+
+Replaces the reference's ``cv2.FastFeatureDetector`` (reference
+src/image_processing/feature_initializer.py:45-60 and feature_adder.py:52-77)
+with a TPU formulation: the 16-pixel Bresenham circle becomes 16 shifted
+copies of the image; the "9 contiguous" test and the OpenCV corner score
+(max-over-arcs of min-over-arc thresholds, minus 1) become rolling min/max
+reductions over the circle axis; non-max suppression is a 3x3 strict-max
+filter — all dense elementwise work, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3, contiguous order, (dy, dx)
+_CIRCLE = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, 3 - 6),
+    ],
+    dtype=np.int32,
+)
+# fix the last entry: (-3, -3+... ) -> (-1? ) ensure proper ring below
+_CIRCLE[-1] = (-3, -1)
+
+ARC = 9  # FAST-9
+
+
+def _shifted(img, dy, dx):
+    """img shifted so that out[y, x] = img[y + dy, x + dx], zero padded."""
+    H, W = img.shape
+    out = jnp.zeros_like(img)
+    ys = slice(max(dy, 0), H + min(dy, 0))
+    yd = slice(max(-dy, 0), H + min(-dy, 0))
+    xs = slice(max(dx, 0), W + min(dx, 0))
+    xd = slice(max(-dx, 0), W + min(-dx, 0))
+    return out.at[yd, xd].set(img[ys, xs])
+
+
+def fast_score_map(img, threshold: int):
+    """(corner_mask, score) maps for FAST-9/16 with OpenCV scoring.
+
+    img: (H, W) uint8/float.  The 3-pixel border is excluded.
+    """
+    f = img.astype(jnp.int32) if img.dtype == jnp.uint8 else img.astype(jnp.int32)
+    H, W = f.shape
+
+    ring = jnp.stack([_shifted(f, int(dy), int(dx)) for dy, dx in _CIRCLE])  # (16,H,W)
+    d = ring - f[None, :, :]  # x_i - p
+
+    # rolling min over 9 consecutive circle positions (wrap-around)
+    d2 = jnp.concatenate([d, d[: ARC - 1]], axis=0)  # (24,H,W)
+    bright_min = jnp.stack([jnp.min(d2[s : s + ARC], axis=0) for s in range(16)])
+    dark_min = jnp.stack([jnp.min(-d2[s : s + ARC], axis=0) for s in range(16)])
+
+    bright_score = jnp.max(bright_min, axis=0)  # max over arc starts
+    dark_score = jnp.max(dark_min, axis=0)
+    score = jnp.maximum(bright_score, dark_score) - 1  # OpenCV cornerScore
+
+    corner = (bright_score > threshold) | (dark_score > threshold)
+
+    border = jnp.zeros((H, W), bool).at[3 : H - 3, 3 : W - 3].set(True)
+    corner = corner & border
+    score = jnp.where(corner, score, 0)
+    return corner, score
+
+
+def nonmax_3x3(score):
+    """Keep pixels whose score strictly exceeds all 8 neighbors."""
+    H, W = score.shape
+    best = score
+    keep = jnp.ones_like(score, dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            keep = keep & (score > _shifted(score, dy, dx))
+    return keep & (score > 0)
+
+
+def detect_fast(img, threshold: int, mask=None):
+    """Full FAST detection: returns (corner_mask, score) after NMS and an
+    optional exclusion mask (True = allowed), mirroring cv2's detect(mask=)."""
+    corner, score = fast_score_map(img, threshold)
+    if mask is not None:
+        score = jnp.where(mask, score, 0)
+        corner = corner & mask
+    keep = nonmax_3x3(score) & corner
+    return keep, jnp.where(keep, score, 0)

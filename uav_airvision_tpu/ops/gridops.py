@@ -1,0 +1,72 @@
+"""Grid bucketing and per-cell top-k selection with static shapes.
+
+The reference buckets features into a 4x5 grid of Python lists and sorts each
+cell (reference feature_initializer.py:65-85, feature_adder.py:66-108,
+feature_pruner.py:8-19).  Here cells are just an int field on flat padded
+arrays; per-cell ranking is one lexsort + segment-rank, and per-cell top-k of
+a dense score map is a single reshape + top_k.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+
+def cell_of_points(pts, grid_row, grid_col, img_h, img_w):
+    """Grid cell index of pixel points (reference get_grid_size +
+    row*grid_col+col bucketing; int() truncation)."""
+    grid_h = int(np.ceil(img_h / grid_row))
+    grid_w = int(np.ceil(img_w / grid_col))
+    row = jnp.floor(pts[..., 1] / grid_h).astype(jnp.int32)
+    col = jnp.floor(pts[..., 0] / grid_w).astype(jnp.int32)
+    return row * grid_col + col
+
+
+def rank_in_cell(cell, primary_desc, arrival, valid, n_cells):
+    """Stable per-cell rank: order within each cell by primary value
+    descending, ties by ascending arrival (replicates Python's stable
+    ``sorted(..., reverse=True)``).  Invalid entries rank last.
+
+    Returns (rank, order) where order is the global sorted permutation
+    (cell-major) and rank is each element's position within its cell.
+    """
+    big_cell = jnp.where(valid, cell, n_cells)
+    perm = jnp.lexsort((arrival, -primary_desc, big_cell))
+    sorted_cells = big_cell[perm]
+    idx = jnp.arange(cell.shape[0])
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cells[1:] != sorted_cells[:-1]]
+    )
+    seg_start = jnp.maximum.accumulate(jnp.where(is_start, idx, 0))
+    rank_sorted = idx - seg_start
+    rank = jnp.zeros_like(idx).at[perm].set(rank_sorted)
+    return rank, perm
+
+
+def dense_grid_topk(score, grid_row, grid_col, k):
+    """Top-k scoring pixels per grid cell from a dense (H, W) score map.
+
+    Returns (ys, xs, vals) each (grid_row*grid_col, k); vals <= 0 entries are
+    empty slots.
+    """
+    H, W = score.shape
+    cell_h = int(np.ceil(H / grid_row))
+    cell_w = int(np.ceil(W / grid_col))
+    ph, pw = cell_h * grid_row, cell_w * grid_col
+    padded = jnp.full((ph, pw), jnp.asarray(-1, score.dtype)).at[:H, :W].set(score)
+    cells = (
+        padded.reshape(grid_row, cell_h, grid_col, cell_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(grid_row * grid_col, cell_h * cell_w)
+    )
+    vals, idx = jax.lax.top_k(cells, k)
+    cy = idx // cell_w
+    cx = idx % cell_w
+    gr = jnp.arange(grid_row * grid_col) // grid_col
+    gc = jnp.arange(grid_row * grid_col) % grid_col
+    ys = gr[:, None] * cell_h + cy
+    xs = gc[:, None] * cell_w + cx
+    return ys, xs, vals
+

@@ -1,0 +1,74 @@
+"""Image pyramid construction, TPU-native.
+
+The reference stubs this out and lets OpenCV's LK build pyramids internally
+(reference src/image_processing/pyramid_builder.py:22-48).  Here we build the
+real thing: OpenCV-compatible ``pyrDown`` levels (5-tap Gaussian
+[1 4 6 4 1]/16, separable, REFLECT_101 borders, 2x decimation) plus the
+Scharr derivative images LK needs, all as XLA convolutions that fuse well on
+the TPU VPU.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+_GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _reflect101_pad(img, py, px):
+    return jnp.pad(img, ((py, py), (px, px)), mode="reflect")
+
+
+def _sep_filter(img, kx, ky):
+    """Separable 2D filter with REFLECT_101 borders; img (H, W) float."""
+    ry = len(ky) // 2
+    rx = len(kx) // 2
+    p = _reflect101_pad(img, ry, rx)
+    # vertical
+    acc = jnp.zeros_like(p[ry:-ry or None, :])
+    H = img.shape[0]
+    for i, k in enumerate(ky):
+        acc = acc + k * lax.dynamic_slice_in_dim(p, i, H, axis=0)
+    # horizontal
+    W = img.shape[1]
+    out = jnp.zeros_like(img)
+    for i, k in enumerate(kx):
+        out = out + k * lax.dynamic_slice_in_dim(acc, i, W, axis=1)
+    return out
+
+
+def pyr_down(img):
+    """OpenCV pyrDown: Gaussian blur + decimate by 2 (even output sizes)."""
+    sm = _sep_filter(img, _GAUSS5.astype(img.dtype), _GAUSS5.astype(img.dtype))
+    return sm[::2, ::2]
+
+
+def build_pyramid(img, levels: int) -> List[jnp.ndarray]:
+    """levels = LK maxLevel; returns levels+1 images (level 0 = input)."""
+    img = img.astype(jnp.float32)
+    pyr = [img]
+    for _ in range(levels):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def scharr_derivs(img) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scharr x/y derivatives scaled by 1/32 (cv2 LK's calcScharrDeriv)."""
+    smooth = jnp.array([3.0, 10.0, 3.0], img.dtype) / 32.0
+    diff = jnp.array([-1.0, 0.0, 1.0], img.dtype)
+    ix = _sep_filter(img, diff, smooth)
+    iy = _sep_filter(img, smooth, diff)
+    return ix, iy
+
+
+def build_pyramid_with_derivs(img, levels: int):
+    """[(image, ix, iy)] per level — the full LK working set."""
+    pyr = build_pyramid(img, levels)
+    out = []
+    for p in pyr:
+        ix, iy = scharr_derivs(p)
+        out.append((p, ix, iy))
+    return out
