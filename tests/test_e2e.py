@@ -1,0 +1,73 @@
+"""End-to-end: rendered stereo images + IMU -> full fused pipeline -> ATE."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uav_airvision_tpu.config import euroc_config
+from uav_airvision_tpu.models.vio import VioFrame, run_sequence
+from uav_airvision_tpu.simulation.world import StereoWorld
+from uav_airvision_tpu.streaming.prebatch import prebatch_imu
+
+
+def _build(duration=3.5, seed=5):
+    cfg = euroc_config()
+    world = StereoWorld(cfg)
+    imu_t, imu_w, imu_a = world.imu_stream(duration)
+    fts = world.frame_times(duration)
+    rng = np.random.default_rng(seed)
+    cam0, cam1 = [], []
+    for t in fts:
+        i0, i1 = world.render_frame(t, rng)
+        cam0.append(i0)
+        cam1.append(i1)
+    pb = prebatch_imu(fts, imu_t, imu_w, imu_a, cfg.capacity.max_imu_per_frame,
+                      cfg.capacity.imu_init_msgs)
+    frames = VioFrame(
+        timestamp=jnp.asarray(pb.timestamps, jnp.float32),
+        cam0=jnp.asarray(np.stack(cam0)),
+        cam1=jnp.asarray(np.stack(cam1)),
+        imu_t=jnp.asarray(pb.imu_t, jnp.float32),
+        imu_w=jnp.asarray(pb.imu_w, jnp.float32),
+        imu_a=jnp.asarray(pb.imu_a, jnp.float32),
+        imu_mask=jnp.asarray(pb.imu_mask),
+        fe_mean_w=jnp.asarray(pb.fe_mean_w, jnp.float32),
+        fe_dt=jnp.asarray(pb.fe_dt, jnp.float32),
+        active=jnp.asarray(pb.active),
+    )
+    return cfg, world, frames, pb
+
+
+@pytest.mark.slow
+def test_full_pipeline_tracks_ground_truth():
+    cfg, world, frames, pb = _build()
+    state, outs = run_sequence(cfg, frames, pb.gyro_bias, pb.acc_mean)
+    act = np.asarray(outs.active)
+    assert act.sum() > 30
+    p = np.asarray(outs.p)[act]
+    t_act = np.asarray(outs.timestamp)[act]
+    gt = world.groundtruth(t_act)
+    ate = np.linalg.norm(p - gt, axis=1)
+    assert np.isfinite(ate).all()
+    assert ate.max() < 0.08, f"e2e ATE too large: {ate.max():.3f} m"
+    # the filter keeps its invariants
+    assert int(state.filter.cams.count) <= cfg.filter.max_cam_state_size
+    assert bool(jnp.all(jnp.isfinite(state.filter.cov)))
+
+
+@pytest.mark.slow
+def test_trajectory_writer_format(tmp_path):
+    from uav_airvision_tpu.utils.trajectory import TrajectoryWriter
+    from uav_airvision_tpu.evaluation.metrics import load_trajectory_txt
+
+    w = TrajectoryWriter(path=str(tmp_path / "out.txt"))
+    w.write_batch(
+        np.array([1.5, 2.0]),
+        np.array([[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]]),
+        np.array([[0, 0, 0, 1.0], [0, 0, 0, 1.0]]),
+    )
+    with open(w.path) as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "1.500000 0.100000000 0.200000000 0.300000000 0.000000000 0.000000000 0.000000000 1.000000000"
+    t, p, q = load_trajectory_txt(w.path)
+    assert len(t) == 2 and p.shape == (2, 3) and q.shape == (2, 4)

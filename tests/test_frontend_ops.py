@@ -1,0 +1,112 @@
+"""Front-end compute ops vs OpenCV oracles (pyramid, FAST, LK, camera model)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from uav_airvision_tpu.ops import camera, fast, lk, pyramid
+
+
+@pytest.fixture(scope="module")
+def textured():
+    rng = np.random.default_rng(0)
+    H, W = 240, 320
+    base = rng.uniform(0, 255, (H // 8, W // 8))
+    img = cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
+    return np.clip(img + rng.normal(0, 2, (H, W)), 0, 255).astype(np.uint8)
+
+
+def test_pyr_down_matches_cv2(textured):
+    got = np.asarray(pyramid.pyr_down(jnp.asarray(textured, jnp.float32)))
+    want = cv2.pyrDown(textured.astype(np.float32))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_fast_matches_cv2(textured):
+    det = cv2.FastFeatureDetector_create(15)
+    kps = det.detect(textured)
+    cvset = {(int(k.pt[0]), int(k.pt[1])): k.response for k in kps}
+    keep, score = fast.detect_fast(jnp.asarray(textured), 15)
+    keep = np.asarray(keep)
+    score = np.asarray(score)
+    jset = {(x, y): score[y, x] for y, x in zip(*np.nonzero(keep))}
+    common = set(cvset) & set(jset)
+    # identical detection sets and identical responses
+    assert len(common) >= 0.99 * max(len(cvset), len(jset))
+    for p in common:
+        assert cvset[p] == jset[p]
+
+
+def test_lk_matches_cv2(textured):
+    H, W = textured.shape
+    rng = np.random.default_rng(1)
+    dx, dy = 3.3, -2.1
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    img2 = cv2.warpAffine(textured, M, (W, H), flags=cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_REFLECT_101)
+    pts = np.concatenate([
+        np.array([[60, 60], [150, 100], [200, 180], [100, 200], [250, 50]], np.float32),
+        rng.uniform([20, 20], [300, 220], (30, 2)).astype(np.float32),
+    ])
+    lkp = dict(winSize=(15, 15), maxLevel=3,
+               criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01),
+               flags=cv2.OPTFLOW_USE_INITIAL_FLOW)
+    nxt_cv, st_cv, _ = cv2.calcOpticalFlowPyrLK(textured, img2, pts, pts.copy(), **lkp)
+    pyrA = pyramid.build_pyramid_with_derivs(jnp.asarray(textured), 3)
+    pyrB = pyramid.build_pyramid_with_derivs(jnp.asarray(img2), 3)
+    nxt_j, st_j = lk.pyramidal_lk(pyrA, pyrB, jnp.asarray(pts), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool))
+    nxt_j, st_j = np.asarray(nxt_j), np.asarray(st_j)
+    st_cv = st_cv.reshape(-1).astype(bool)
+    both = st_cv & st_j
+    assert both.sum() >= 0.9 * len(pts)
+    d = np.linalg.norm(nxt_cv - nxt_j, axis=1)[both]
+    assert d.max() < 0.01, f"LK deviates from cv2 by {d.max():.4f} px"
+    # and it actually tracks the truth
+    err = np.linalg.norm(nxt_j[both] - (pts[both] + [dx, dy]), axis=1)
+    assert err.max() < 0.2
+
+
+def test_undistort_matches_cv2():
+    rng = np.random.default_rng(2)
+    intr = (458.654, 457.296, 367.215, 248.375)
+    coeffs = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05)
+    K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1]])
+    pp = rng.uniform([50, 50], [700, 430], (50, 2)).astype(np.float32)
+    want = cv2.undistortPoints(
+        pp.reshape(-1, 1, 2), K, np.array(coeffs), None, np.eye(3), np.eye(3)
+    ).reshape(-1, 2)
+    got = np.asarray(camera.undistort_points(jnp.asarray(pp), intr, "radtan", coeffs))
+    # cv2 runs 5 fixed-point iterations, we run 8 -> both near the true inverse
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_distort_matches_cv2_projectPoints():
+    rng = np.random.default_rng(3)
+    intr = (458.654, 457.296, 367.215, 248.375)
+    coeffs = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05)
+    K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1]])
+    norm = rng.uniform(-0.5, 0.5, (50, 2)).astype(np.float64)
+    want, _ = cv2.projectPoints(
+        cv2.convertPointsToHomogeneous(norm), np.zeros(3), np.zeros(3), K,
+        np.array(coeffs),
+    )
+    got = np.asarray(camera.distort_points(jnp.asarray(norm), intr, "radtan", coeffs))
+    np.testing.assert_allclose(got, want.reshape(-1, 2), atol=1e-6)
+
+
+def test_undistort_distort_roundtrip():
+    rng = np.random.default_rng(4)
+    intr = (458.654, 457.296, 367.215, 248.375)
+    coeffs = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05)
+    pp = rng.uniform([60, 60], [690, 420], (100, 2))
+    und = camera.undistort_points(jnp.asarray(pp), intr, "radtan", coeffs)
+    back = camera.distort_points(und, intr, "radtan", coeffs)
+    # the fixed-point inverse converges slowly at the image corners; 8
+    # iterations leave <6e-3 px there (cv2's 5 iterations leave more)
+    np.testing.assert_allclose(np.asarray(back), pp, atol=1e-2)
+    # interior points are tight
+    inner = (np.abs(pp[:, 0] - 367) < 200) & (np.abs(pp[:, 1] - 248) < 130)
+    np.testing.assert_allclose(np.asarray(back)[inner], pp[inner], atol=1e-4)

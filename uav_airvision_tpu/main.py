@@ -1,0 +1,205 @@
+"""CLI experiment driver.
+
+Flag-compatible with the reference entry point
+(``python main.py --path <euroc_dir> --offset <sec> [--view]``, reference
+src/main.py:10-34) and writes the same trajectory file format.  Two modes:
+
+* ``--mode batch`` (default): prebatch the whole sequence and `lax.scan` the
+  fused step over it on device — the fast TPU path.
+* ``--mode realtime``: reference-style threaded playback through queues at
+  ``--ratio`` x real time (reference uses 0.4).
+
+Extra conveniences the reference lacks: ``--synthetic SECONDS`` runs the
+built-in simulator when no dataset is on disk, and ``--eval`` computes
+ATE/RTE against ground truth after the run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_frames_from_euroc(config, path, offset):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .streaming.dataset import EuRoCDataset
+    from .streaming.prebatch import load_euroc_arrays, prebatch_imu
+    from .models.vio import VioFrame
+
+    dataset = EuRoCDataset(path)
+    dataset.set_starttime(offset=offset)
+    fts, cam0, cam1, imu_t, imu_w, imu_a = load_euroc_arrays(dataset)
+    pb = prebatch_imu(fts, imu_t, imu_w, imu_a, config.capacity.max_imu_per_frame,
+                      config.capacity.imu_init_msgs)
+    frames = VioFrame(
+        timestamp=jnp.asarray(pb.timestamps, jnp.float64).astype(jnp.float32),
+        cam0=jnp.asarray(cam0),
+        cam1=jnp.asarray(cam1),
+        imu_t=jnp.asarray(pb.imu_t, jnp.float32),
+        imu_w=jnp.asarray(pb.imu_w, jnp.float32),
+        imu_a=jnp.asarray(pb.imu_a, jnp.float32),
+        imu_mask=jnp.asarray(pb.imu_mask),
+        fe_mean_w=jnp.asarray(pb.fe_mean_w, jnp.float32),
+        fe_dt=jnp.asarray(pb.fe_dt, jnp.float32),
+        active=jnp.asarray(pb.active),
+    )
+    gt = None
+    try:
+        gt = dataset.groundtruth.load()
+    except Exception:
+        pass
+    return frames, pb, gt
+
+
+def build_frames_synthetic(config, duration):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .simulation.world import StereoWorld
+    from .streaming.prebatch import prebatch_imu
+    from .models.vio import VioFrame
+
+    world = StereoWorld(config)
+    imu_t, imu_w, imu_a = world.imu_stream(duration)
+    fts = world.frame_times(duration)
+    rng = np.random.default_rng(5)
+    cam0, cam1 = [], []
+    for t in fts:
+        i0, i1 = world.render_frame(t, rng)
+        cam0.append(i0)
+        cam1.append(i1)
+    pb = prebatch_imu(fts, imu_t, imu_w, imu_a, config.capacity.max_imu_per_frame,
+                      config.capacity.imu_init_msgs)
+    frames = VioFrame(
+        timestamp=jnp.asarray(pb.timestamps, jnp.float32),
+        cam0=jnp.asarray(np.stack(cam0)),
+        cam1=jnp.asarray(np.stack(cam1)),
+        imu_t=jnp.asarray(pb.imu_t, jnp.float32),
+        imu_w=jnp.asarray(pb.imu_w, jnp.float32),
+        imu_a=jnp.asarray(pb.imu_a, jnp.float32),
+        imu_mask=jnp.asarray(pb.imu_mask),
+        fe_mean_w=jnp.asarray(pb.fe_mean_w, jnp.float32),
+        fe_dt=jnp.asarray(pb.fe_dt, jnp.float32),
+        active=jnp.asarray(pb.active),
+    )
+    gt = dict(timestamp=fts, p=world.groundtruth(fts))
+    return frames, pb, gt
+
+
+def run_batch(args):
+    import numpy as np
+
+    from .config import euroc_config
+    from .models.vio import run_sequence
+    from .utils.trajectory import TrajectoryWriter
+
+    config = euroc_config()
+    name = os.path.basename(os.path.normpath(args.path)) if args.path else "synthetic"
+
+    t_load = time.time()
+    if args.synthetic:
+        frames, pb, gt = build_frames_synthetic(config, args.synthetic)
+    else:
+        frames, pb, gt = build_frames_from_euroc(config, args.path, args.offset)
+    print(f"[load] {len(pb.timestamps)} frames in {time.time()-t_load:.1f}s")
+
+    t_run = time.time()
+    state, outs = run_sequence(config, frames, pb.gyro_bias, pb.acc_mean)
+    outs.p.block_until_ready()
+    wall = time.time() - t_run
+    n = len(pb.timestamps)
+    print(f"[run] {n} frames in {wall:.2f}s ({n / wall:.1f} fps incl. compile)")
+
+    act = np.asarray(outs.active)
+    writer = TrajectoryWriter(dataset_name=name, offset=str(int(args.offset)))
+    writer.write_batch(
+        np.asarray(outs.timestamp), np.asarray(outs.p), np.asarray(outs.q), act
+    )
+    print(f"[out] trajectory -> {writer.path} ({act.sum()} poses)")
+
+    if args.eval and gt is not None:
+        from .evaluation.metrics import ate, rte
+
+        gts = gt["timestamp"] if isinstance(gt, dict) else gt[0]
+        gtp = gt["p"] if isinstance(gt, dict) else gt[1]
+        a = ate(np.asarray(outs.timestamp)[act], np.asarray(outs.p)[act], gts, gtp)
+        r = rte(np.asarray(outs.timestamp)[act], np.asarray(outs.p)[act], gts, gtp)
+        print(f"[eval] ATE rmse={a['rmse']:.4f}m mean={a['mean']:.4f}m | "
+              f"RTE rmse={r['rmse']:.4f}m")
+
+    if args.view:
+        try:
+            from .viewer import SimpleViewer
+
+            viewer = SimpleViewer()
+            viewer.replay(np.asarray(outs.timestamp)[act], np.asarray(outs.p)[act])
+        except Exception as e:  # viewer is optional (needs Qt)
+            print(f"[view] viewer unavailable: {e}")
+
+
+def run_realtime(args):
+    from queue import Queue
+
+    from .config import euroc_config
+    from .streaming.dataset import EuRoCDataset
+    from .streaming.publisher import DataPublisher
+    from .vio import VIO
+    from .utils.trajectory import TrajectoryWriter
+
+    config = euroc_config()
+    dataset = EuRoCDataset(args.path)
+    dataset.set_starttime(offset=args.offset)
+
+    name = os.path.basename(os.path.normpath(args.path))
+    os.environ["DATASET_NAME"] = name
+    os.environ["TIME_OFFSET"] = str(int(args.offset))
+
+    img_q, imu_q = Queue(), Queue()
+    viewer = None
+    if args.view:
+        try:
+            from .viewer import SimpleViewer
+
+            viewer = SimpleViewer()
+        except Exception as e:
+            print(f"[view] viewer unavailable: {e}")
+
+    writer = TrajectoryWriter(dataset_name=name, offset=str(int(args.offset)))
+    vio = VIO(config, img_q, imu_q, viewer, trajectory_writer=writer)
+    vio.start()
+
+    now = time.time()
+    imu_pub = DataPublisher(dataset.imu, imu_q, duration=float("inf"), ratio=args.ratio)
+    img_pub = DataPublisher(dataset.stereo, img_q, duration=float("inf"), ratio=args.ratio)
+    imu_pub.start(now)
+    img_pub.start(now)
+    vio.join()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU-native stereo VIO")
+    parser.add_argument("--path", default="./datasets/V2_03_difficult")
+    parser.add_argument("--offset", type=float, default=10.0)
+    parser.add_argument("--view", action="store_true")
+    parser.add_argument("--mode", choices=["batch", "realtime"], default="batch")
+    parser.add_argument("--ratio", type=float, default=0.4,
+                        help="realtime playback speed (reference: 0.4)")
+    parser.add_argument("--synthetic", type=float, default=0.0,
+                        help="run the built-in simulator for N seconds instead "
+                             "of a dataset")
+    parser.add_argument("--eval", action="store_true",
+                        help="compute ATE/RTE against ground truth")
+    args = parser.parse_args(argv)
+
+    if args.mode == "realtime":
+        run_realtime(args)
+    else:
+        run_batch(args)
+
+
+if __name__ == "__main__":
+    main()

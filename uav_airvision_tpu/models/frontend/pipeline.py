@@ -64,7 +64,7 @@ def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
     pyr = []
     hh, ww = h, w
     for _ in range(levels + 1):
-        z = jnp.zeros((hh, ww), jnp.float32)
+        z = jnp.zeros((hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD), jnp.float32)
         pyr.append((z, z, z))
         hh, ww = hh // 2, ww // 2
     return FrontendState(
@@ -204,7 +204,7 @@ def frontend_step(
         FAST detection; we pre-select the top-8 per cell (>= the 3 kept), a
         shape-bounding approximation."""
         pts, score, arrival, vald = _detection_candidates(
-            pyr0[0][0], None, config, CAND_INIT
+            cam0_img, None, config, CAND_INIT
         )
         cam1_pts, inlier = stereo_match(pyr0, pyr1, pts, vald, params, config)
         cell = gridops.cell_of_points(pts, fe.grid_row, fe.grid_col, H, W)
@@ -219,11 +219,11 @@ def frontend_step(
         selm = keep[sel]
         new_state = state._replace(
             ids=jnp.where(selm, ids[sel], -1),
-            lifetime=jnp.where(selm, 1, 0),
+            lifetime=jnp.where(selm, 1, 0).astype(jnp.int32),
             cam0=jnp.where(selm[:, None], pts[sel], 0.0),
             cam1=jnp.where(selm[:, None], cam1_pts[sel], 0.0),
             valid=selm,
-            next_id=state.next_id + n_kept,
+            next_id=(state.next_id + n_kept).astype(jnp.int32),
             initialized=jnp.ones((), bool),
         )
         zero = jnp.zeros((), jnp.int32)
@@ -238,7 +238,7 @@ def frontend_step(
 
         prev_pts = state.cam0
         prev_valid = state.valid
-        before_tracking = jnp.sum(prev_valid.astype(jnp.int32))
+        before_tracking = jnp.sum(prev_valid.astype(jnp.int32)).astype(jnp.int32)
 
         pred = camera.homography_warp_points(prev_pts, cam0_R_p_c,
                                              params.cam0_intrinsics)
@@ -249,11 +249,11 @@ def frontend_step(
         )
         st = st & (curr[:, 0] >= 0) & (curr[:, 0] <= W - 1) \
                 & (curr[:, 1] >= 0) & (curr[:, 1] <= H - 1)
-        after_tracking = jnp.sum(st.astype(jnp.int32))
+        after_tracking = jnp.sum(st.astype(jnp.int32)).astype(jnp.int32)
 
         cam1_curr, match = stereo_match(pyr0, pyr1, curr, st, params, config)
         tracked = st & match
-        after_matching = jnp.sum(tracked.astype(jnp.int32))
+        after_matching = jnp.sum(tracked.astype(jnp.int32)).astype(jnp.int32)
         # RANSAC stage: all-ones in the reference -> pass-through
         after_ransac = after_matching
 
@@ -263,7 +263,7 @@ def frontend_step(
         # ---- feature adder ----
         det_mask = _detection_mask((H, W), curr, tracked)
         apts, ascore, aarrival, avalid = _detection_candidates(
-            pyr0[0][0], det_mask, config, CAND_ADD
+            cam0_img, det_mask, config, CAND_ADD
         )
         acam1, ainlier = stereo_match(pyr0, pyr1, apts, avalid, params, config)
         acell = gridops.cell_of_points(apts, fe.grid_row, fe.grid_col, H, W)
@@ -314,7 +314,7 @@ def frontend_step(
             cam0=jnp.where(selm[:, None], all_cam0[sel], 0.0),
             cam1=jnp.where(selm[:, None], all_cam1[sel], 0.0),
             valid=selm,
-            next_id=state.next_id + a_kept,
+            next_id=(state.next_id + a_kept).astype(jnp.int32),
         )
         counters = (before_tracking, after_tracking, after_matching, after_ransac)
         return new_state, counters

@@ -1,0 +1,108 @@
+"""The fused VIO model: vision front-end + MSCKF back-end as one compiled
+per-frame step, plus the sequence runner (`lax.scan` over the sensor stream).
+
+This is the TPU-native equivalent of the reference's thread/queue pipeline
+(VIO orchestrator, reference src/modules/vio.py:6-53): instead of three
+daemon threads passing messages, the whole frame computation is a single XLA
+program `vio_step(state, frame) -> (state, output)`; host I/O happens at the
+array boundary (streaming/prebatch.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Config
+from ..utils.precision import with_highest_precision
+from .frontend.params import FrontendParams, make_frontend_params
+from .frontend.pipeline import FrontendState, frontend_step, init_frontend_state
+from .msckf.state import FilterState, MsckfParams, init_state, make_params
+from .msckf.step import FrameInput, StepOutput, backend_step
+
+
+class VioState(NamedTuple):
+    frontend: FrontendState
+    filter: FilterState
+
+
+class VioFrame(NamedTuple):
+    """One prebatched sensor frame (host-assembled)."""
+
+    timestamp: jnp.ndarray  # ()
+    cam0: jnp.ndarray  # (H,W) uint8
+    cam1: jnp.ndarray  # (H,W) uint8
+    imu_t: jnp.ndarray  # (I,)
+    imu_w: jnp.ndarray  # (I,3)
+    imu_a: jnp.ndarray  # (I,3)
+    imu_mask: jnp.ndarray  # (I,)
+    fe_mean_w: jnp.ndarray  # (3,) front-end rotation-prediction mean gyro
+    fe_dt: jnp.ndarray  # ()
+    active: jnp.ndarray  # () bool — backend processes this frame
+
+
+def init_vio_state(config: Config, gyro_bias=None, acc_mean=None,
+                   mparams: MsckfParams = None) -> VioState:
+    mparams = mparams or make_params(config)
+    return VioState(
+        frontend=init_frontend_state(config),
+        filter=init_state(config, mparams, gyro_bias, acc_mean),
+    )
+
+
+def vio_step(state: VioState, frame: VioFrame, fparams: FrontendParams,
+             mparams: MsckfParams, config: Config):
+    """Full frame: images -> features -> filter update -> pose."""
+    fe_state, fe_out = frontend_step(
+        state.frontend, frame.cam0, frame.cam1, frame.fe_mean_w, frame.fe_dt,
+        fparams, config,
+    )
+    dtype = state.filter.cov.dtype
+    backend_frame = FrameInput(
+        timestamp=frame.timestamp.astype(dtype),
+        imu_t=frame.imu_t.astype(dtype),
+        imu_w=frame.imu_w.astype(dtype),
+        imu_a=frame.imu_a.astype(dtype),
+        imu_mask=frame.imu_mask,
+        feat_ids=fe_out.ids,
+        feat_uv=fe_out.uv.astype(dtype),
+        feat_mask=fe_out.mask,
+        active=frame.active,
+    )
+    filt, out = backend_step(state.filter, backend_frame, mparams, config)
+    return VioState(frontend=fe_state, filter=filt), out
+
+
+def make_jitted_step(config: Config, fparams=None, mparams=None):
+    fparams = fparams or make_frontend_params(config)
+    mparams = mparams or make_params(config)
+    return with_highest_precision(jax.jit(
+        functools.partial(vio_step, fparams=fparams, mparams=mparams, config=config)
+    )), fparams, mparams
+
+
+def run_sequence(config: Config, frames: VioFrame, gyro_bias, acc_mean,
+                 fparams=None, mparams=None, state: VioState = None,
+                 unroll: int = 1):
+    """Batch mode: scan the compiled step over a whole prebatched sequence
+    (frames has a leading time axis on every leaf).  Returns (state, outputs)
+    with outputs stacked over time."""
+    fparams = fparams or make_frontend_params(config)
+    mparams = mparams or make_params(config)
+    if state is None:
+        state = init_vio_state(config, gyro_bias, acc_mean, mparams)
+
+    def scan_fn(carry, frame):
+        new_state, out = vio_step(carry, frame, fparams, mparams, config)
+        return new_state, out
+
+    @with_highest_precision
+    @jax.jit
+    def _run(state, frames):
+        return lax.scan(scan_fn, state, frames, unroll=unroll)
+
+    return _run(state, frames)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..utils.lax_helpers import dyn_slice
+from .pyramid import LK_PAD
 
 
 def _bilinear_patch(img, corner_xy, size):
@@ -61,9 +62,11 @@ def _track_level(
     Returns (next_pts_l, status_ok_level0)."""
     dtype = prev_img.dtype
     half = (win - 1) * 0.5
-    H, W = prev_img.shape
+    # arrays are padded by LK_PAD on each side (ops/pyramid.py); logical size:
+    H = prev_img.shape[0] - 2 * LK_PAD
+    W = prev_img.shape[1] - 2 * LK_PAD
 
-    corner_prev = prev_pts_l - half  # (F,2)
+    corner_prev = prev_pts_l - half + LK_PAD  # (F,2) padded-array coords
 
     patch_I = jax.vmap(lambda c: _bilinear_patch(prev_img, c, win))(corner_prev)
     patch_ix = jax.vmap(lambda c: _bilinear_patch(prev_ix, c, win))(corner_prev)
@@ -78,8 +81,8 @@ def _track_level(
     )
 
     # OpenCV's out-of-window check on the integer corner of the prev point.
-    ipx = jnp.floor(corner_prev[:, 0])
-    ipy = jnp.floor(corner_prev[:, 1])
+    ipx = jnp.floor(corner_prev[:, 0]) - LK_PAD
+    ipy = jnp.floor(corner_prev[:, 1]) - LK_PAD
     in_prev = (ipx >= -win) & (ipx < W) & (ipy >= -win) & (ipy < H)
 
     solvable = (det > 1e-12) & (min_eig >= min_eig_thresh) if is_level0 else (
@@ -94,7 +97,7 @@ def _track_level(
     inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
 
     def sample_diff_b(pts):
-        corner = pts - half
+        corner = pts - half + LK_PAD
 
         def one(c, pI, pix, piy):
             J = _bilinear_patch(curr_img, c, win)

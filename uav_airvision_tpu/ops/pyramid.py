@@ -64,11 +64,21 @@ def scharr_derivs(img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return ix, iy
 
 
-def build_pyramid_with_derivs(img, levels: int):
-    """[(image, ix, iy)] per level — the full LK working set."""
+LK_PAD = 17  # window 15 + bilinear margin; matches cv2's per-level border
+
+
+def build_pyramid_with_derivs(img, levels: int, pad: int = LK_PAD):
+    """[(image, ix, iy)] per level, each padded by ``pad`` pixels so LK can
+    sample windows that partially leave the image (cv2 pads each level with
+    the window size: image border REFLECT_101, derivative border zero).
+    Coordinates into these arrays are shifted by +pad (ops/lk.py handles it).
+    """
     pyr = build_pyramid(img, levels)
     out = []
     for p in pyr:
         ix, iy = scharr_derivs(p)
-        out.append((p, ix, iy))
+        p_pad = jnp.pad(p, pad, mode="reflect")
+        ix_pad = jnp.pad(ix, pad)
+        iy_pad = jnp.pad(iy, pad)
+        out.append((p_pad, ix_pad, iy_pad))
     return out
