@@ -194,7 +194,6 @@ def frontend_step(
     pyr0 = tuple(pyramid.build_pyramid_with_derivs(cam0_img, fe.pyramid_levels))
     pyr1 = tuple(pyramid.build_pyramid_with_derivs(cam1_img, fe.pyramid_levels))
 
-    NEW = n_cells * fe.grid_min_feature_num  # new-feature slots per frame
     CAND_INIT = 8  # per-cell candidates on the first frame (see docstring)
     CAND_ADD = fe.grid_max_feature_num
 

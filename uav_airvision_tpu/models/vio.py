@@ -85,16 +85,12 @@ def make_jitted_step(config: Config, fparams=None, mparams=None):
     )), fparams, mparams
 
 
-def run_sequence(config: Config, frames: VioFrame, gyro_bias, acc_mean,
-                 fparams=None, mparams=None, state: VioState = None,
-                 unroll: int = 1):
-    """Batch mode: scan the compiled step over a whole prebatched sequence
-    (frames has a leading time axis on every leaf).  Returns (state, outputs)
-    with outputs stacked over time."""
-    fparams = fparams or make_frontend_params(config)
-    mparams = mparams or make_params(config)
-    if state is None:
-        state = init_vio_state(config, gyro_bias, acc_mean, mparams)
+@functools.lru_cache(maxsize=8)
+def _sequence_runner(config: Config, unroll: int):
+    """Compiled scan runner, memoized per config so repeat calls (bench
+    warmup/timed, sweeps) reuse the same XLA executable."""
+    fparams = make_frontend_params(config)
+    mparams = make_params(config)
 
     def scan_fn(carry, frame):
         new_state, out = vio_step(carry, frame, fparams, mparams, config)
@@ -105,4 +101,16 @@ def run_sequence(config: Config, frames: VioFrame, gyro_bias, acc_mean,
     def _run(state, frames):
         return lax.scan(scan_fn, state, frames, unroll=unroll)
 
-    return _run(state, frames)
+    return _run
+
+
+def run_sequence(config: Config, frames: VioFrame, gyro_bias, acc_mean,
+                 fparams=None, mparams=None, state: VioState = None,
+                 unroll: int = 1):
+    """Batch mode: scan the compiled step over a whole prebatched sequence
+    (frames has a leading time axis on every leaf).  Returns (state, outputs)
+    with outputs stacked over time."""
+    if state is None:
+        mparams = mparams or make_params(config)
+        state = init_vio_state(config, gyro_bias, acc_mean, mparams)
+    return _sequence_runner(config, unroll)(state, frames)

@@ -14,16 +14,14 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-# Bresenham circle of radius 3, contiguous order, (dy, dx)
+# Bresenham circle of radius 3, contiguous ring order, (dy, dx)
 _CIRCLE = np.array(
     [
         (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
-        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, 3 - 6),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
     ],
     dtype=np.int32,
 )
-# fix the last entry: (-3, -3+... ) -> (-1? ) ensure proper ring below
-_CIRCLE[-1] = (-3, -1)
 
 ARC = 9  # FAST-9
 

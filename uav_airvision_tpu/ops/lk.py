@@ -20,8 +20,7 @@ ops/pallas/lk_kernel.py (same interface) for the TPU fast path.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,9 +84,6 @@ def _track_level(
     ipy = jnp.floor(corner_prev[:, 1]) - LK_PAD
     in_prev = (ipx >= -win) & (ipx < W) & (ipy >= -win) & (ipy < H)
 
-    solvable = (det > 1e-12) & (min_eig >= min_eig_thresh) if is_level0 else (
-        det > 1e-12
-    )
     good = valid & in_prev & (det > 1e-12)
     if is_level0:
         status = valid & in_prev & (min_eig >= min_eig_thresh) & (det > 1e-12)
