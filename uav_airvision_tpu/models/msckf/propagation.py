@@ -70,10 +70,13 @@ def _integrate_imu(imu: ImuState, gravity, dt, gyro, acc):
     return imu._replace(q=q_new, v=v_new, p=p_new)
 
 
-def _process_one(imu: ImuState, cov, gravity, qc_diag, t, gyro_m, acc_m):
-    """One IMU message: state integration + covariance propagation with the
-    observability-constrained Phi (reference process_model, src/msckf.py:275-339)."""
-    dtype = cov.dtype
+def _process_one(imu: ImuState, gravity, qc_diag, t, gyro_m, acc_m):
+    """One IMU message: state integration + the per-step transition/noise pair
+    (reference process_model, src/msckf.py:275-339).  Returns
+    (imu_new, Phi, Q) — covariance application is deferred to the caller,
+    which composes all per-step transitions into one (TPU redesign: the scan
+    carries only 21x21 matrices; the (D,D) covariance is touched once)."""
+    dtype = imu.q.dtype
     dt = t - imu.timestamp
     gyro = gyro_m - imu.bg
     acc = acc_m - imu.ba
@@ -119,40 +122,52 @@ def _process_one(imu: ImuState, cov, gravity, qc_diag, t, gyro_m, acc_m):
 
     Q = (Phi @ G) @ (qc_diag[:, None] * (Phi @ G).T) * dt
 
-    P_ii = Phi @ cov[:IMU_DIM, :IMU_DIM] @ Phi.T + Q
-    P_ic = Phi @ cov[:IMU_DIM, IMU_DIM:]
-    P_ci = cov[IMU_DIM:, :IMU_DIM] @ Phi.T
-    cov = cov.at[:IMU_DIM, :IMU_DIM].set(P_ii)
-    cov = cov.at[:IMU_DIM, IMU_DIM:].set(P_ic)
-    cov = cov.at[IMU_DIM:, :IMU_DIM].set(P_ci)
-    cov = (cov + cov.T) / 2.0
-
     imu_new = imu_new._replace(
         q_null=imu_new.q,
         p_null=imu_new.p,
         v_null=imu_new.v,
         timestamp=t,
     )
-    return imu_new, cov
+    return imu_new, Phi, Q
 
 
 def propagate(state: FilterState, params: MsckfParams, imu_t, imu_w, imu_a, imu_mask):
     """Masked scan over the padded per-frame IMU slice
-    (reference batch_imu_processing, src/msckf.py:251-273)."""
+    (reference batch_imu_processing, src/msckf.py:251-273).
 
-    def body(carry, x):
-        imu, cov = carry
-        t, w, a, m = x
+    The scan carries (imu_state, Phi_acc, Q_acc) where Phi_acc/Q_acc compose
+    the per-sample covariance transitions: after the scan, exactly
+    P11 <- Phi P11 Phi^T + Q and P1c <- Phi P1c in one shot.  This is
+    algebraically identical to applying each step to the full covariance
+    (linear-Gaussian composition) but touches the (D,D) matrix once instead
+    of once per IMU sample.  Per-step symmetrization of the reference is
+    replaced by one final symmetrization (exact in exact arithmetic)."""
+    dtype = state.cov.dtype
+    eyeI = jnp.eye(IMU_DIM, dtype=dtype)
+    n_valid = jnp.sum(imu_mask.astype(jnp.int32))  # prebatch packs valid first
 
-        def run(_):
-            return _process_one(imu, cov, state.gravity, params.noise_qc_diag, t, w, a)
+    def cond(carry):
+        i, _, _, _ = carry
+        return i < n_valid
 
-        def skip(_):
-            return imu, cov
+    def body(carry):
+        i, imu, Phi_acc, Q_acc = carry
+        imu2, Phi, Q = _process_one(
+            imu, state.gravity, params.noise_qc_diag, imu_t[i], imu_w[i], imu_a[i]
+        )
+        return (i + 1, imu2, Phi @ Phi_acc, Phi @ Q_acc @ Phi.T + Q)
 
-        imu2, cov2 = lax.cond(m, run, skip, None)
-        return (imu2, cov2), None
+    init = (jnp.zeros((), jnp.int32), state.imu, eyeI,
+            jnp.zeros((IMU_DIM, IMU_DIM), dtype))
+    _, imu, Phi, Q = lax.while_loop(cond, body, init)
 
-    (imu, cov), _ = lax.scan(body, (state.imu, state.cov), (imu_t, imu_w, imu_a, imu_mask))
+    cov = state.cov
+    P_ii = Phi @ cov[:IMU_DIM, :IMU_DIM] @ Phi.T + Q
+    P_ic = Phi @ cov[:IMU_DIM, IMU_DIM:]
+    cov = cov.at[:IMU_DIM, :IMU_DIM].set(P_ii)
+    cov = cov.at[:IMU_DIM, IMU_DIM:].set(P_ic)
+    cov = cov.at[IMU_DIM:, :IMU_DIM].set(P_ic.T)
+    cov = (cov + cov.T) / 2.0
+
     imu = imu._replace(sid=imu.sid + 1)
     return state._replace(imu=imu, cov=cov)

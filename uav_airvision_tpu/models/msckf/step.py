@@ -267,28 +267,27 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
     prefix = jnp.cumsum(rows_inc) - rows_inc
     include = include & (prefix <= 1500)  # order-dependent cap (ref :667)
     rows_inc = jnp.where(include, rows_f, 0)
+    rows_total = jnp.sum(rows_inc)
 
+    # One scatter-add places every block: rows past a block's true height are
+    # exactly zero (Householder projection preserves zero rows), so adjacent
+    # blocks overlapping in the buffer only ever add zeros.
     R_BUF = cap.max_update_rows
     BLK = 4 * N - 3
-    H_buf = jnp.zeros((R_BUF, D), dtype)
-    r_buf = jnp.zeros((R_BUF,), dtype)
-    park = R_BUF - BLK  # scratch region beyond any real offset
-
-    def scatter(carry, i):
-        H_buf, r_buf = carry
-        off = jnp.where(include[i], prefix[i], park).astype(jnp.int32)
-        blk_H = jnp.where(include[i], H_blk[i], 0.0)
-        blk_r = jnp.where(include[i], r_blk[i], 0.0)
-        H_buf = dyn_update(H_buf, blk_H, off, 0)
-        r_buf = dyn_update(r_buf, blk_r, off)
-        return (H_buf, r_buf), None
-
-    (H_buf, r_buf), _ = lax.scan(scatter, (H_buf, r_buf), jnp.arange(L))
+    row_idx = jnp.where(
+        include[:, None], prefix[:, None] + jnp.arange(BLK)[None, :], R_BUF
+    ).reshape(-1)
+    H_buf = jnp.zeros((R_BUF, D), dtype).at[row_idx].add(
+        H_blk.reshape(L * BLK, D), mode="drop"
+    )
+    r_buf = jnp.zeros((R_BUF,), dtype).at[row_idx].add(
+        r_blk.reshape(L * BLK), mode="drop"
+    )
 
     any_update = jnp.any(include)
 
     def do_update(s):
-        return apply_update(s, params, H_buf, r_buf)
+        return apply_update(s, params, H_buf, r_buf, rows_total)
 
     def no_update(s):
         return s, jnp.zeros((), bool)
@@ -428,26 +427,24 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
         rows_ord = rows_inc[order]
         prefix_ord = jnp.cumsum(rows_ord) - rows_ord
         prefix = jnp.zeros((M,), jnp.int32).at[order].set(prefix_ord)
+        rows_total = jnp.sum(rows_inc)
 
+        # single scatter-add (rows past a block's true height are exact zeros)
         R_BUF = cap.max_prune_rows
-        H_buf = jnp.zeros((R_BUF, D), dtype)
-        r_buf = jnp.zeros((R_BUF,), dtype)
-        park = R_BUF - 5
-
-        def scatter(carry, i):
-            H_buf, r_buf = carry
-            slot = order[i]
-            off = jnp.where(include[slot], prefix[slot], park).astype(jnp.int32)
-            H_buf = dyn_update(H_buf, jnp.where(include[slot], H_blk[slot], 0.0), off, 0)
-            r_buf = dyn_update(r_buf, jnp.where(include[slot], r_blk[slot], 0.0), off)
-            return (H_buf, r_buf), None
-
-        (H_buf, r_buf), _ = lax.scan(scatter, (H_buf, r_buf), jnp.arange(M))
+        row_idx = jnp.where(
+            include[:, None], prefix[:, None] + jnp.arange(5)[None, :], R_BUF
+        ).reshape(-1)
+        H_buf = jnp.zeros((R_BUF, D), dtype).at[row_idx].add(
+            H_blk.reshape(M * 5, D), mode="drop"
+        )
+        r_buf = jnp.zeros((R_BUF,), dtype).at[row_idx].add(
+            r_blk.reshape(M * 5), mode="drop"
+        )
 
         any_update = jnp.any(include)
         state, warn = lax.cond(
             any_update,
-            lambda s: apply_update(s, params, H_buf, r_buf),
+            lambda s: apply_update(s, params, H_buf, r_buf, rows_total),
             lambda s: (s, jnp.zeros((), bool)),
             state,
         )

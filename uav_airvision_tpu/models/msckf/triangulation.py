@@ -144,6 +144,18 @@ def _normal_equations(views, x, huber_eps):
     return A, b
 
 
+def _solve3(A, b):
+    """Closed-form 3x3 solve (Cramer / adjugate).  Batched LU is pathological
+    on TPU for tiny systems; this is a handful of VPU ops."""
+    c0 = jnp.cross(A[:, 1], A[:, 2])
+    c1 = jnp.cross(A[:, 2], A[:, 0])
+    c2 = jnp.cross(A[:, 0], A[:, 1])
+    det = A[:, 0] @ c0
+    safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    x = jnp.stack([b @ c0, b @ c1, b @ c2]) / safe
+    return jnp.where(jnp.abs(det) > 1e-30, x, jnp.zeros_like(x))
+
+
 def triangulate(views: TriangulationViews, tri: TriangulationConfig):
     """LM solve; returns (position_world, is_valid).
 
@@ -174,7 +186,7 @@ def triangulate(views: TriangulationViews, tri: TriangulationConfig):
 
         def inner_body(ic):
             x, lam, cost, dnorm, inner, reduced = ic
-            delta = jnp.linalg.solve(A + lam * eye3, b)
+            delta = _solve3(A + lam * eye3, b)
             x_new = x - delta
             dnorm_new = jnp.linalg.norm(delta)
             cost_new = _total_cost(views, x_new)

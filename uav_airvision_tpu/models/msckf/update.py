@@ -10,17 +10,23 @@ TPU-native re-design notes
   keep every shape static: a feature contributes a padded ``(4N, ...)`` block
   (N = window size) with zero rows for unobserved cameras.
 * The reference computes the left-nullspace of ``H_f`` with SVD and projects.
-  We use a *complete QR* of the zero-row-padded ``H_f`` instead: because
-  Householder reflections never touch all-zero rows, ``Q[:, 3:]`` is an
-  orthonormal basis of the same left-nullspace in which the projected block
-  has its informative rows FIRST (positions of valid observations) and exact
-  zeros elsewhere.  The EKF update and the gating statistic are invariant
-  under any orthonormal basis change of the measurement rows and under
-  appended zero rows, so this is mathematically exact, not an approximation —
-  while letting us stack compact per-feature blocks at static offsets.
+  We apply the *three Householder reflections* that triangularize the
+  zero-row-padded ``H_f`` directly to ``[H_f | r | H_x]`` and drop the first
+  three rows: rows 3: are then the projection onto an orthonormal basis of
+  the same left-nullspace.  Because the reflections never touch all-zero rows
+  (their vectors live in the span of ``H_f``'s columns), the projected block
+  keeps its informative rows FIRST (positions of valid observations) and
+  exact zeros elsewhere.  The EKF update and the gating statistic are
+  invariant under any orthonormal basis change of the measurement rows and
+  under appended zero rows, so this is mathematically exact, not an
+  approximation — while letting us stack compact per-feature blocks at
+  static offsets, at the cost of three rank-1 updates instead of an (4N,4N)
+  factorization.
 * ``measurement_update`` always runs the thin-QR path: for true row count
   m <= state dim this is provably identical to the reference's no-QR branch
-  (S, K, and the posterior are invariant under H = QR factorization).
+  (S, K, and the posterior are invariant under H = QR factorization).  The
+  QR is size-tiered: the stacked buffer is mostly padding in steady state,
+  so a prefix-sized factorization runs when the true row count allows it.
 """
 
 from __future__ import annotations
@@ -31,7 +37,6 @@ from jax import lax
 
 from ...utils import quaternion as quat
 from .state import IMU_DIM, FilterState, MsckfParams
-from ...utils.lax_helpers import dyn_slice, dyn_update
 
 
 def stereo_jacobian_per_cam(cam_q, cam_p, cam_q_null, cam_p_null, p_w, z,
@@ -113,46 +118,39 @@ def feature_block(cams_q, cams_p, cams_qn, cams_pn, obs, obs_mask, p_w,
     r_all = jnp.where(jnp.isfinite(r_all), r_all, 0.0)
 
     # Compact row placement: observation i of a valid slot s goes to rows
-    # 4*rank(s) .. +4, its H_x block to columns 21 + 6*s.
+    # 4*rank(s) .. +4, its H_x block to columns 21 + 6*s.  Placement is two
+    # one-hot contractions (row compaction, then column scatter) — no scan.
     rank = jnp.cumsum(obs_mask.astype(jnp.int32)) - 1  # (N,)
     n_obs = jnp.sum(obs_mask.astype(jnp.int32))
 
-    H_xj = jnp.zeros((4 * N, state_dim), dtype)
-    H_fj = jnp.zeros((4 * N, 3), dtype)
-    r_j = jnp.zeros((4 * N,), dtype)
+    slot_ids = jnp.arange(N, dtype=jnp.int32)
+    # P[r, s] = 1 iff valid slot s has rank r  (row-compaction permutation)
+    P = ((rank[None, :] == slot_ids[:, None]) & obs_mask[None, :]).astype(dtype)
+    H_fj = jnp.einsum("rs,sij->rij", P, Hf_all).reshape(4 * N, 3)
+    r_j = jnp.einsum("rs,si->ri", P, r_all).reshape(4 * N)
+    # H_x block of the slot at rank r lands in columns 21 + 6*slot(r):
+    # C[r, s] == P[r, s] selects the column block while compacting rows.
+    H_cam = jnp.einsum("rs,sij->risj", P, Hx_all).reshape(4 * N, 6 * N)
+    H_xj = jnp.concatenate(
+        [jnp.zeros((4 * N, IMU_DIM), dtype), H_cam], axis=1
+    )
 
-    def body(carry, s):
-        H_xj, H_fj, r_j = carry
-        row = 4 * jnp.maximum(rank[s], 0)
-        col = IMU_DIM + 6 * s
-        blk_x = jnp.where(obs_mask[s], 1.0, 0.0) * Hx_all[s]
-        H_xj = dyn_update(
-            H_xj,
-            dyn_update(jnp.zeros((4, state_dim), dtype), blk_x, 0, col)
-            + dyn_slice(H_xj, (4, state_dim), row, 0),
-            row, 0,
-        )
-        H_fj = dyn_update(
-            H_fj,
-            jnp.where(obs_mask[s], 1.0, 0.0) * Hf_all[s]
-            + dyn_slice(H_fj, (4, 3), row, 0),
-            row, 0,
-        )
-        r_j = dyn_update(
-            r_j,
-            jnp.where(obs_mask[s], 1.0, 0.0) * r_all[s]
-            + dyn_slice(r_j, (4,), row),
-            row,
-        )
-        return (H_xj, H_fj, r_j), None
-
-    (H_xj, H_fj, r_j), _ = lax.scan(body, (H_xj, H_fj, r_j), jnp.arange(N))
-
-    # Left-nullspace projection via complete QR (see module docstring).
-    Qc, _ = jnp.linalg.qr(H_fj, mode="complete")  # (4N, 4N)
-    A_ns = Qc[:, 3:]  # (4N, 4N-3)
-    H_proj = A_ns.T @ H_xj  # (4N-3, D)
-    r_proj = A_ns.T @ r_j
+    # Left-nullspace projection: triangularize H_fj with 3 Householder
+    # reflections applied jointly to [H_f | r | H_x]; rows 3: of the result
+    # are the nullspace-projected block (see module docstring).
+    T = jnp.concatenate([H_fj, r_j[:, None], H_xj], axis=1)  # (4N, 4+D)
+    for j in range(3):
+        x = T[:, j]
+        live = jnp.arange(4 * N) >= j  # rows below the triangularized part
+        x = jnp.where(live, x, 0.0)
+        normx = jnp.sqrt(jnp.sum(x * x))
+        sign = jnp.where(x[j] >= 0, 1.0, -1.0).astype(dtype)
+        v = x.at[j].add(sign * normx)
+        vnorm2 = jnp.sum(v * v)
+        scale = jnp.where(vnorm2 > 1e-30, 2.0 / vnorm2, 0.0)
+        T = T - scale * jnp.outer(v, v @ T)
+    H_proj = T[3:, 4:]  # (4N-3, D)
+    r_proj = T[3:, 3]
     rows_true = (4 * n_obs - 3).astype(jnp.int32)
     return H_proj, r_proj, rows_true
 
@@ -164,27 +162,56 @@ def gating_test(H, r, rows_true, cov, obs_noise, chi2_table, dof):
     of S and 0 in r, which leaves gamma unchanged (block-diagonal argument).
     """
     S = H @ cov @ H.T + obs_noise * jnp.eye(H.shape[0], dtype=H.dtype)
-    gamma = r @ jnp.linalg.solve(S, r)
+    # S is SPD by construction: Cholesky + triangular solve beats LU on TPU
+    Lc = jnp.linalg.cholesky(S)
+    y = jax.scipy.linalg.solve_triangular(Lc, r, lower=True)
+    gamma = y @ y
     return gamma < chi2_table[jnp.clip(dof, 0, chi2_table.shape[0] - 1)]
 
 
-def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf):
+def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
+                 rows_true=None):
     """EKF update from the stacked (zero-padded) measurement buffer
     (reference measurement_update, src/msckf.py:548-602).
 
     Always runs the thin-QR compression; see module docstring for why this is
-    exactly equivalent to the reference's conditional.
+    exactly equivalent to the reference's conditional.  When ``rows_true`` is
+    given, the QR is size-tiered: zero padding rows do not change R or Q^T r,
+    so factorizing a prefix that covers all true rows is exact — and in steady
+    state the buffer is mostly padding, which makes the small tier the common
+    fast path.
     Non-Joseph covariance update (P <- (I-KH)P) preserved deliberately.
     """
     dtype = H_buf.dtype
     D = H_buf.shape[1]
-    Q, R = jnp.linalg.qr(H_buf, mode="reduced")  # (rows, D), (D, D)
-    r_thin = Q.T @ r_buf
-
     P = state.cov
-    S = R @ P @ R.T + params.obs_noise * jnp.eye(D, dtype=dtype)
-    K = jnp.linalg.solve(S, R @ P).T  # (D, D)
-    delta = K @ r_thin
+
+    def _gain(H, r):
+        """K and delta for measurement rows (H, r) with noise sigma^2 I.
+        Zero padding rows yield zero gain columns (block-diagonal S), so any
+        prefix that covers all true rows gives the exact same update."""
+        m = H.shape[0]
+        S = H @ P @ H.T + params.obs_noise * jnp.eye(m, dtype=dtype)
+        Lc = jnp.linalg.cholesky(S)
+        K = jax.scipy.linalg.cho_solve((Lc, True), H @ P).T  # (D, m)
+        return K @ r, K @ H  # delta, K H
+
+    if rows_true is None or H_buf.shape[0] <= 2 * D:
+        delta, KH = _gain(H_buf, r_buf)
+    else:
+        # Tiered: the buffer is mostly padding in steady state.  The small
+        # tier uses the rows directly (the reference's no-QR branch, exact);
+        # the rare overflow tier compresses with thin QR first.
+        TIER = 2 * D
+
+        def small(_):
+            return _gain(H_buf[:TIER], r_buf[:TIER])
+
+        def full(_):
+            Q, R = jnp.linalg.qr(H_buf, mode="reduced")
+            return _gain(R, Q.T @ r_buf)
+
+        delta, KH = lax.cond(rows_true <= TIER, small, full, None)
 
     d_imu = delta[:IMU_DIM]
     imu = state.imu
@@ -213,8 +240,7 @@ def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf):
         p=jnp.where(live[:, None], cams.p + d_cam[:, 3:], cams.p),
     )
 
-    I_KH = jnp.eye(D, dtype=dtype) - K @ R
-    P_new = I_KH @ P
+    P_new = P - KH @ P
     P_new = (P_new + P_new.T) / 2.0
 
     # diagnostics matching the reference's update-magnitude warning

@@ -14,8 +14,12 @@ with per-feature convergence masks.  Semantics follow OpenCV's LKTrackerInvoker:
   min-eigenvalue(G)/area < minEigThreshold,
 * OPTFLOW_USE_INITIAL_FLOW: the caller provides the starting guess.
 
-This is the reference's hot loop; a Pallas kernel specialization lives in
-ops/pallas/lk_kernel.py (same interface) for the TPU fast path.
+TPU mapping (the reference's hot loop, redesigned rather than translated):
+each feature gets a small search *window* gathered from HBM once per level;
+the 30 Gauss-Newton iterations then run entirely on-chip, with the bilinear
+patch interpolation expressed as two small matrix products per feature
+(separable bilinear weights) so the inner loop is pure MXU/VPU work with no
+gathers.  The parallel axis is the feature batch.
 """
 
 from __future__ import annotations
@@ -28,6 +32,13 @@ from jax import lax
 
 from ..utils.lax_helpers import dyn_slice
 from .pyramid import LK_PAD
+
+# Search-window margin around the initial guess, in pixels per pyramid level.
+# The Gauss-Newton refinement at one level rarely moves a point more than a
+# few pixels (coarser levels have already absorbed the large motion); points
+# that try to leave the window are frozen at the boundary, which mirrors
+# OpenCV's behavior of losing such tracks at level 0 anyway.
+LK_MARGIN = 10
 
 
 def _bilinear_patch(img, corner_xy, size):
@@ -52,6 +63,17 @@ def _bilinear_patch(img, corner_xy, size):
     )
 
 
+def _bilinear_axis_weights(frac_pos, n_out, n_in, dtype):
+    """(n_out, n_in) separable bilinear sampling matrix W with
+    W[i, floor(p)+i] = 1-a, W[i, floor(p)+i+1] = a where p = frac_pos,
+    a = p - floor(p).  Sampling a patch row/column becomes a matmul."""
+    base = jnp.floor(frac_pos)
+    a = (frac_pos - base).astype(dtype)
+    tgt = base.astype(jnp.int32) + jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    return jnp.where(cols == tgt, 1.0 - a, 0.0) + jnp.where(cols == tgt + 1, a, 0.0)
+
+
 def _track_level(
     prev_img, prev_ix, prev_iy, curr_img,
     prev_pts_l, next_pts_l, valid,
@@ -62,8 +84,10 @@ def _track_level(
     dtype = prev_img.dtype
     half = (win - 1) * 0.5
     # arrays are padded by LK_PAD on each side (ops/pyramid.py); logical size:
-    H = prev_img.shape[0] - 2 * LK_PAD
-    W = prev_img.shape[1] - 2 * LK_PAD
+    HP, WP = prev_img.shape
+    H = HP - 2 * LK_PAD
+    W = WP - 2 * LK_PAD
+    WIN = win + 1 + 2 * LK_MARGIN  # search-window side
 
     corner_prev = prev_pts_l - half + LK_PAD  # (F,2) padded-array coords
 
@@ -92,17 +116,34 @@ def _track_level(
 
     inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
 
-    def sample_diff_b(pts):
+    # One search window per feature from the current image, gathered once;
+    # the iteration loop below never touches HBM again.
+    corner0 = next_pts_l - half + LK_PAD  # (F,2) initial window corner
+    oy = jnp.clip(jnp.floor(corner0[:, 1]).astype(jnp.int32) - LK_MARGIN, 0, HP - WIN)
+    ox = jnp.clip(jnp.floor(corner0[:, 0]).astype(jnp.int32) - LK_MARGIN, 0, WP - WIN)
+    windows = jax.vmap(
+        lambda y, x: lax.dynamic_slice(curr_img, (y, x), (WIN, WIN))
+    )(oy, ox)  # (F, WIN, WIN)
+
+    max_t = WIN - (win + 1)
+
+    def sample_J(pts):
+        """Bilinear 15x15 patches at fractional corners via two batched
+        matmuls per feature: J = Wr @ window @ Wc^T (separable bilinear)."""
         corner = pts - half + LK_PAD
-
-        def one(c, pI, pix, piy):
-            J = _bilinear_patch(curr_img, c, win)
-            diff = J - pI
-            b1 = jnp.sum(diff * pix)
-            b2 = jnp.sum(diff * piy)
-            return b1, b2
-
-        return jax.vmap(one)(corner, patch_I, patch_ix, patch_iy)
+        py = jnp.clip(corner[:, 1] - oy.astype(dtype), 0.0, float(max_t))
+        px = jnp.clip(corner[:, 0] - ox.astype(dtype), 0.0, float(max_t))
+        Wr = jax.vmap(lambda p: _bilinear_axis_weights(p, win, WIN, dtype))(py)
+        Wc = jax.vmap(lambda p: _bilinear_axis_weights(p, win, WIN, dtype))(px)
+        T1 = jax.lax.dot_general(
+            Wr, windows, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+        )  # (F, win, WIN)
+        J = jax.lax.dot_general(
+            T1, Wc, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+        )  # (F, win, win)
+        return J
 
     def cond(carry):
         pts, prev_delta, conv, it = carry
@@ -110,7 +151,10 @@ def _track_level(
 
     def body(carry):
         pts, prev_delta, conv, it = carry
-        b1, b2 = sample_diff_b(pts)
+        J = sample_J(pts)
+        diff = J - patch_I
+        b1 = jnp.sum(diff * patch_ix, axis=(1, 2))
+        b2 = jnp.sum(diff * patch_iy, axis=(1, 2))
         # OpenCV: delta = [(A12 b2 - A22 b1), (A12 b1 - A11 b2)] / det
         dx = (a12 * b2 - a22 * b1) * inv_det
         dy = (a12 * b1 - a11 * b2) * inv_det
@@ -124,8 +168,16 @@ def _track_level(
             & (jnp.floor(new_pts[:, 1] - half) >= -win)
             & (jnp.floor(new_pts[:, 1] - half) < H)
         )
+        # freeze points whose sample corner would leave the search window
+        new_corner = new_pts - half + LK_PAD
+        in_win = (
+            (new_corner[:, 0] - ox >= 0.0)
+            & (new_corner[:, 0] - ox <= max_t)
+            & (new_corner[:, 1] - oy >= 0.0)
+            & (new_corner[:, 1] - oy <= max_t)
+        )
 
-        step_mask = (~conv) & good
+        step_mask = (~conv) & good & in_win
         pts = jnp.where(step_mask[:, None], new_pts, pts)
 
         d2 = jnp.sum(delta * delta, axis=-1)
@@ -136,7 +188,7 @@ def _track_level(
             & (jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01)
         )
         pts = jnp.where((step_mask & flip)[:, None], pts - delta * 0.5, pts)
-        conv = conv | small | flip | ~good | ~inb
+        conv = conv | small | flip | ~good | ~inb | ~in_win
         return (pts, delta, conv, it + 1)
 
     conv0 = ~good
