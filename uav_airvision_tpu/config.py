@@ -80,6 +80,11 @@ class FrontendConfig:
     max_vertical_disparity_px: float = 20.0
     # OpenCV LK minimum-eigenvalue reject threshold (cv2 default).
     lk_min_eig_threshold: float = 1e-4
+    # The stereo fwd/bwd consistency check's backward LK runs only at pyramid
+    # level 0 by default: its initial guess (the original cam0 point) is
+    # already sub-pixel for true matches, so the coarse levels add cost but
+    # no discrimination.  Set True for the reference's full-pyramid backward.
+    stereo_full_backward: bool = False
 
     @property
     def grid_num(self) -> int:
@@ -159,6 +164,7 @@ class CapacityConfig:
     max_cam_states: int = 20  # sliding window (== max_cam_state_size)
     max_imu_per_frame: int = 64  # padded per-frame IMU slice
     max_lost_per_frame: int = 64  # features marginalized per frame
+    max_prune_feats: int = 96  # features processed per cam-prune update
     max_update_rows: int = 1680  # 1500-row cap + one 77-row block, rounded
     max_prune_rows: int = 848  # prune-update row buffer
     fast_candidates: int = 1024  # detector candidates kept on first frame

@@ -16,6 +16,13 @@ Reference quirks preserved:
   behavior in feature_adder.py:59-62),
 * cells that do not overflow keep insertion order; overflowing cells are
   reordered lifetime-descending by the pruner (feature_pruner.py:13-19).
+
+One deliberate deviation: the 7x7 detection mask is built from the
+temporally-tracked points BEFORE their stereo re-match (the reference masks
+after it, feature_adder.py:59-62) so the tracked-feature and new-candidate
+stereo matches can run as one batched LK call; a temporal track that then
+fails stereo masks a few extra pixels, which only suppresses a rare nearby
+re-detection one frame early.
 """
 
 from __future__ import annotations
@@ -250,7 +257,23 @@ def frontend_step(
                 & (curr[:, 1] >= 0) & (curr[:, 1] <= H - 1)
         after_tracking = jnp.sum(st.astype(jnp.int32)).astype(jnp.int32)
 
-        cam1_curr, match = stereo_match(pyr0, pyr1, curr, st, params, config)
+        # The detection mask needs only the temporally-tracked positions, so
+        # the tracked-feature stereo match and the adder-candidate stereo
+        # match can run as ONE batched LK call (the reference runs them as
+        # two separate cv2 calls; batching them doubles the LK feature axis
+        # instead, which is nearly free on the TPU).
+        det_mask = _detection_mask((H, W), curr, st)
+        apts, ascore, aarrival, avalid = _detection_candidates(
+            cam0_img, det_mask, config, CAND_ADD
+        )
+        both_pts = jnp.concatenate([curr, apts])
+        both_valid = jnp.concatenate([st, avalid])
+        both_cam1, both_inlier = stereo_match(
+            pyr0, pyr1, both_pts, both_valid, params, config
+        )
+        cam1_curr, match = both_cam1[:F], both_inlier[:F]
+        acam1, ainlier = both_cam1[F:], both_inlier[F:]
+
         tracked = st & match
         after_matching = jnp.sum(tracked.astype(jnp.int32)).astype(jnp.int32)
         # RANSAC stage: all-ones in the reference -> pass-through
@@ -258,13 +281,6 @@ def frontend_step(
 
         tr_cell = gridops.cell_of_points(curr, fe.grid_row, fe.grid_col, H, W)
         tr_life = state.lifetime + 1
-
-        # ---- feature adder ----
-        det_mask = _detection_mask((H, W), curr, tracked)
-        apts, ascore, aarrival, avalid = _detection_candidates(
-            cam0_img, det_mask, config, CAND_ADD
-        )
-        acam1, ainlier = stereo_match(pyr0, pyr1, apts, avalid, params, config)
         acell = gridops.cell_of_points(apts, fe.grid_row, fe.grid_col, H, W)
         arank, _ = gridops.rank_in_cell(acell, ascore.astype(jnp.float32),
                                         aarrival, ainlier, n_cells)

@@ -52,8 +52,14 @@ def stereo_match(
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
     )
+    # Backward pass for the fwd/bwd error gate.  Default: level 0 only — the
+    # initial guess (the original cam0 point) is already sub-pixel for true
+    # matches, so the coarse pyramid levels add cost without changing which
+    # points clear the 3 px gate (config.frontend.stereo_full_backward
+    # restores the reference's full-pyramid backward).
+    n_bwd = None if fe.stereo_full_backward else 1
     p0r, _ = lk.pyramidal_lk(
-        pyr1, pyr0, p1, cam0_pts, valid,
+        pyr1[:n_bwd], pyr0[:n_bwd], p1, cam0_pts, valid,
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
     )

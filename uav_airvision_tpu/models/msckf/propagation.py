@@ -2,10 +2,22 @@
 
 Reproduces the semantics of the reference's ``process_model`` /
 ``predict_new_state`` / ``batch_imu_processing`` (reference
-src/msckf.py:251-388) as one masked ``lax.scan`` over a fixed-width padded
-per-frame IMU slice.  The reference's dynamic "consume buffer until the frame
-timestamp" loop becomes a host-side prebatch (streaming/prebatch.py) plus a
-per-slot validity mask here, so the whole thing is a single compiled program.
+src/msckf.py:251-388) with a TPU-native decomposition.  The reference loops
+over buffered IMU messages, touching the full covariance each time.  Here the
+per-frame IMU slice is processed as four *batched* phases with only two
+log-depth associative scans carrying the sequential structure:
+
+1. quaternion chain: each step's closed-form integrator is a 4x4 matrix
+   ``M_i(gyro, dt)``; all orientations are prefix products (associative scan).
+   Per-step normalization commutes with the linear chain, so normalizing the
+   prefixes is exact.
+2. RK4 velocity/position: given the orientations, each step's dv/dp are
+   independent; v and p are cumulative sums.
+3. transition/noise pairs: Phi_i (3rd-order expm + OC-EKF constraints, using
+   the null anchors = previous step's state) and Q_i are batched 21x21 work.
+4. composition: (Phi, Q) compose associatively as
+   (Phi_b Phi_a, Phi_b Q_a Phi_b^T + Q_b); one associative scan yields the
+   whole-frame transition, applied to the (D, D) covariance once.
 """
 
 from __future__ import annotations
@@ -18,156 +30,167 @@ from ...utils import quaternion as quat
 from .state import IMU_DIM, FilterState, ImuState, MsckfParams
 
 
-def _integrate_imu(imu: ImuState, gravity, dt, gyro, acc):
-    """Closed-form quaternion integration + RK4 for v/p
-    (reference predict_new_state, src/msckf.py:341-388)."""
-    dtype = imu.q.dtype
-    gyro_norm = jnp.linalg.norm(gyro)
-    Omega = jnp.zeros((4, 4), dtype)
-    Omega = Omega.at[:3, :3].set(-quat.skew(gyro))
-    Omega = Omega.at[:3, 3].set(gyro)
-    Omega = Omega.at[3, :3].set(-gyro)
-
-    q, v, p = imu.q, imu.v, imu.p
-    eye4 = jnp.eye(4, dtype=dtype)
+def _omega_mat(gyro, half_dt):
+    """Closed-form quaternion integrator matrix (reference predict_new_state,
+    src/msckf.py:343-362): q(t+dt) = M q(t), batched over steps."""
+    dtype = gyro.dtype
+    n = gyro.shape[0]
+    gyro_norm = jnp.linalg.norm(gyro, axis=-1)  # (n,)
+    Omega = jnp.zeros((n, 4, 4), dtype)
+    Omega = Omega.at[:, :3, :3].set(-quat.skew(gyro))
+    Omega = Omega.at[:, :3, 3].set(gyro)
+    Omega = Omega.at[:, 3, :3].set(-gyro)
 
     big = gyro_norm > 1e-5
-    safe_norm = jnp.where(big, gyro_norm, 1.0)
-
-    def rot_q(half_dt):
-        # exact form when the rate is large enough, first-order otherwise
-        exact = (
-            jnp.cos(gyro_norm * half_dt) * eye4
-            + jnp.sin(gyro_norm * half_dt) / safe_norm * Omega
-        ) @ q
-        approx = jnp.cos(gyro_norm * half_dt) * ((eye4 + Omega * half_dt) @ q)
-        return jnp.where(big, exact, approx)
-
-    dq_dt = rot_q(dt * 0.5)
-    dq_dt2 = rot_q(dt * 0.25)
-
-    dR_dt_T = quat.to_rotation(dq_dt).T
-    dR_dt2_T = quat.to_rotation(dq_dt2).T
-
-    k1_v_dot = quat.to_rotation(q).T @ acc + gravity
-    k1_p_dot = v
-
-    k1_v = v + k1_v_dot * dt / 2.0
-    k2_v_dot = dR_dt2_T @ acc + gravity
-    k2_p_dot = k1_v
-
-    k2_v = v + k2_v_dot * dt / 2.0
-    k3_v_dot = dR_dt2_T @ acc + gravity
-    k3_p_dot = k2_v
-
-    k3_v = v + k3_v_dot * dt
-    k4_v_dot = dR_dt_T @ acc + gravity
-    k4_p_dot = k3_v
-
-    q_new = dq_dt / jnp.linalg.norm(dq_dt)
-    v_new = v + (k1_v_dot + 2 * k2_v_dot + 2 * k3_v_dot + k4_v_dot) * dt / 6.0
-    p_new = p + (k1_p_dot + 2 * k2_p_dot + 2 * k3_p_dot + k4_p_dot) * dt / 6.0
-    return imu._replace(q=q_new, v=v_new, p=p_new)
-
-
-def _process_one(imu: ImuState, gravity, qc_diag, t, gyro_m, acc_m):
-    """One IMU message: state integration + the per-step transition/noise pair
-    (reference process_model, src/msckf.py:275-339).  Returns
-    (imu_new, Phi, Q) — covariance application is deferred to the caller,
-    which composes all per-step transitions into one (TPU redesign: the scan
-    carries only 21x21 matrices; the (D,D) covariance is touched once)."""
-    dtype = imu.q.dtype
-    dt = t - imu.timestamp
-    gyro = gyro_m - imu.bg
-    acc = acc_m - imu.ba
-
-    R_w_i = quat.to_rotation(imu.q)
-
-    eye3 = jnp.eye(3, dtype=dtype)
-    F = jnp.zeros((IMU_DIM, IMU_DIM), dtype)
-    F = F.at[:3, :3].set(-quat.skew(gyro))
-    F = F.at[:3, 3:6].set(-eye3)
-    F = F.at[6:9, :3].set(-R_w_i.T @ quat.skew(acc))
-    F = F.at[6:9, 9:12].set(-R_w_i.T)
-    F = F.at[12:15, 6:9].set(eye3)
-
-    G = jnp.zeros((IMU_DIM, 12), dtype)
-    G = G.at[:3, :3].set(-eye3)
-    G = G.at[3:6, 3:6].set(eye3)
-    G = G.at[6:9, 6:9].set(-R_w_i.T)
-    G = G.at[9:12, 9:12].set(eye3)
-
-    # 3rd-order expm approximation of Phi = exp(F dt).
-    Fdt = F * dt
-    Fdt2 = Fdt @ Fdt
-    Phi = jnp.eye(IMU_DIM, dtype=dtype) + Fdt + Fdt2 / 2.0 + Fdt2 @ Fdt / 6.0
-
-    imu_new = _integrate_imu(imu, gravity, dt, gyro, acc)
-
-    # Observability constraints (OC-EKF): pin the transition against the
-    # null-state anchors so the yaw/position gauge stays unobservable.
-    R_kk_1 = quat.to_rotation(imu.q_null)
-    Phi = Phi.at[:3, :3].set(quat.to_rotation(imu_new.q) @ R_kk_1.T)
-
-    u = R_kk_1 @ gravity
-    s = u / (u @ u)
-
-    A1 = Phi[6:9, :3]
-    w1 = quat.skew(imu.v_null - imu_new.v) @ gravity
-    Phi = Phi.at[6:9, :3].set(A1 - jnp.outer(A1 @ u - w1, s))
-
-    A2 = Phi[12:15, :3]
-    w2 = quat.skew(dt * imu.v_null + imu.p_null - imu_new.p) @ gravity
-    Phi = Phi.at[12:15, :3].set(A2 - jnp.outer(A2 @ u - w2, s))
-
-    Q = (Phi @ G) @ (qc_diag[:, None] * (Phi @ G).T) * dt
-
-    imu_new = imu_new._replace(
-        q_null=imu_new.q,
-        p_null=imu_new.p,
-        v_null=imu_new.v,
-        timestamp=t,
-    )
-    return imu_new, Phi, Q
+    safe = jnp.where(big, gyro_norm, 1.0)
+    eye4 = jnp.eye(4, dtype=dtype)
+    c = jnp.cos(gyro_norm * half_dt)[:, None, None]
+    s = (jnp.sin(gyro_norm * half_dt) / safe)[:, None, None]
+    exact = c * eye4 + s * Omega
+    approx = c * (eye4 + Omega * half_dt[:, None, None])
+    return jnp.where(big[:, None, None], exact, approx)
 
 
 def propagate(state: FilterState, params: MsckfParams, imu_t, imu_w, imu_a, imu_mask):
-    """Masked scan over the padded per-frame IMU slice
-    (reference batch_imu_processing, src/msckf.py:251-273).
-
-    The scan carries (imu_state, Phi_acc, Q_acc) where Phi_acc/Q_acc compose
-    the per-sample covariance transitions: after the scan, exactly
-    P11 <- Phi P11 Phi^T + Q and P1c <- Phi P1c in one shot.  This is
-    algebraically identical to applying each step to the full covariance
-    (linear-Gaussian composition) but touches the (D,D) matrix once instead
-    of once per IMU sample.  Per-step symmetrization of the reference is
-    replaced by one final symmetrization (exact in exact arithmetic)."""
+    """Batched propagation over the padded per-frame IMU slice
+    (reference batch_imu_processing, src/msckf.py:251-273)."""
     dtype = state.cov.dtype
+    imu = state.imu
+    gravity = state.gravity
+    qc = params.noise_qc_diag
+    I = imu_t.shape[0]
+    eye3 = jnp.eye(3, dtype=dtype)
     eyeI = jnp.eye(IMU_DIM, dtype=dtype)
-    n_valid = jnp.sum(imu_mask.astype(jnp.int32))  # prebatch packs valid first
+    m = imu_mask
+    mf = m.astype(dtype)
 
-    def cond(carry):
-        i, _, _, _ = carry
-        return i < n_valid
+    # per-step dt against the previous valid timestamp (valid slots packed
+    # first by the host prebatch)
+    t_prev = jnp.concatenate([imu.timestamp[None], imu_t[:-1]])
+    dt = jnp.where(m, imu_t - t_prev, 0.0).astype(dtype)
+    gyro = jnp.where(m[:, None], imu_w - imu.bg[None, :], 0.0).astype(dtype)
+    acc = jnp.where(m[:, None], imu_a - imu.ba[None, :], 0.0).astype(dtype)
 
-    def body(carry):
-        i, imu, Phi_acc, Q_acc = carry
-        imu2, Phi, Q = _process_one(
-            imu, state.gravity, params.noise_qc_diag, imu_t[i], imu_w[i], imu_a[i]
-        )
-        return (i + 1, imu2, Phi @ Phi_acc, Phi @ Q_acc @ Phi.T + Q)
+    # ---- phase 1: orientation chain --------------------------------------
+    M_full = _omega_mat(gyro, dt * 0.5)  # full-step integrator
+    M_half = _omega_mat(gyro, dt * 0.25)  # RK4 midpoint integrator
+    M_full = jnp.where(m[:, None, None], M_full, jnp.eye(4, dtype=dtype))
 
-    init = (jnp.zeros((), jnp.int32), state.imu, eyeI,
-            jnp.zeros((IMU_DIM, IMU_DIM), dtype))
-    _, imu, Phi, Q = lax.while_loop(cond, body, init)
+    # prefix products P_i = M_i ... M_0 (f(a, b) = "apply a, then b")
+    P = lax.associative_scan(lambda a, b: jnp.einsum("...ij,...jk->...ik", b, a), M_full)
+    q_next = quat.normalize(jnp.einsum("nij,j->ni", P, imu.q))  # q after step i
+    q_at = jnp.concatenate([imu.q[None], q_next[:-1]])  # q at start of step i
+
+    # ---- phase 2: RK4 velocity / position --------------------------------
+    dq_full = jnp.einsum("nij,nj->ni", M_full, q_at)  # unnormalized, as ref
+    dq_half = jnp.einsum("nij,nj->ni", M_half, q_at)
+    R_at_T = jnp.swapaxes(quat.to_rotation(q_at), -1, -2)
+    R_half_T = jnp.swapaxes(quat.to_rotation(dq_half), -1, -2)
+    R_full_T = jnp.swapaxes(quat.to_rotation(dq_full), -1, -2)
+
+    k1vd = jnp.einsum("nij,nj->ni", R_at_T, acc) + gravity[None, :]
+    k2vd = jnp.einsum("nij,nj->ni", R_half_T, acc) + gravity[None, :]
+    k4vd = jnp.einsum("nij,nj->ni", R_full_T, acc) + gravity[None, :]
+    # k3 uses the same midpoint rotation as k2 (ref msckf.py:364-384)
+    dv = (k1vd + 4.0 * k2vd + k4vd) * (dt / 6.0)[:, None]
+    dv = jnp.where(m[:, None], dv, 0.0)
+    v_next = imu.v[None, :] + jnp.cumsum(dv, axis=0)  # v after step i
+    v_at = jnp.concatenate([imu.v[None], v_next[:-1]])
+
+    # dp_i = v_i dt + (k1vd + k2vd + k3vd) dt^2 / 6, k3vd == k2vd
+    dp = v_at * dt[:, None] + (k1vd + 2.0 * k2vd) * (dt * dt / 6.0)[:, None]
+    dp = jnp.where(m[:, None], dp, 0.0)
+    p_next = imu.p[None, :] + jnp.cumsum(dp, axis=0)
+    p_at = jnp.concatenate([imu.p[None], p_next[:-1]])
+
+    # ---- phase 3: batched transition / noise ------------------------------
+    # null anchors: the incoming state's anchors for step 0, then the
+    # (anchor == state) post-step values (reference msckf.py:307-339)
+    qn_at = jnp.concatenate([imu.q_null[None], q_next[:-1]])
+    vn_at = jnp.concatenate([imu.v_null[None], v_next[:-1]])
+    pn_at = jnp.concatenate([imu.p_null[None], p_next[:-1]])
+
+    R_at = quat.to_rotation(q_at)  # (I,3,3) world->IMU at step start
+    F = jnp.zeros((I, IMU_DIM, IMU_DIM), dtype)
+    F = F.at[:, :3, :3].set(-quat.skew(gyro))
+    F = F.at[:, :3, 3:6].set(-eye3)
+    F = F.at[:, 6:9, :3].set(-jnp.einsum("nji,njk->nik", R_at, quat.skew(acc)))
+    F = F.at[:, 6:9, 9:12].set(-jnp.swapaxes(R_at, -1, -2))
+    F = F.at[:, 12:15, 6:9].set(eye3)
+
+    G = jnp.zeros((I, IMU_DIM, 12), dtype)
+    G = G.at[:, :3, :3].set(-eye3)
+    G = G.at[:, 3:6, 3:6].set(eye3)
+    G = G.at[:, 6:9, 6:9].set(-jnp.swapaxes(R_at, -1, -2))
+    G = G.at[:, 9:12, 9:12].set(eye3)
+
+    Fdt = F * dt[:, None, None]
+    Fdt2 = jnp.einsum("nij,njk->nik", Fdt, Fdt)
+    Phi = eyeI + Fdt + Fdt2 / 2.0 + jnp.einsum("nij,njk->nik", Fdt2, Fdt) / 6.0
+
+    # OC-EKF constraints (reference process_model, msckf.py:307-322)
+    R_null = quat.to_rotation(qn_at)
+    Phi = Phi.at[:, :3, :3].set(
+        jnp.einsum("nij,nkj->nik", quat.to_rotation(q_next), R_null)
+    )
+    u = jnp.einsum("nij,j->ni", R_null, gravity)  # (I,3)
+    s_vec = u / jnp.sum(u * u, axis=-1, keepdims=True)
+
+    A1 = Phi[:, 6:9, :3]
+    w1 = jnp.einsum("nij,j->ni", quat.skew(vn_at - v_next), gravity)
+    corr1 = jnp.einsum("nij,nj->ni", A1, u) - w1
+    Phi = Phi.at[:, 6:9, :3].set(A1 - corr1[:, :, None] * s_vec[:, None, :])
+
+    A2 = Phi[:, 12:15, :3]
+    w2 = jnp.einsum(
+        "nij,j->ni", quat.skew(dt[:, None] * vn_at + pn_at - p_next), gravity
+    )
+    corr2 = jnp.einsum("nij,nj->ni", A2, u) - w2
+    Phi = Phi.at[:, 12:15, :3].set(A2 - corr2[:, :, None] * s_vec[:, None, :])
+
+    Phi = jnp.where(m[:, None, None], Phi, eyeI)
+    PhiG = jnp.einsum("nij,njk->nik", Phi, G)
+    Q = jnp.einsum("nik,k,njk->nij", PhiG, qc, PhiG) * dt[:, None, None]
+    Q = jnp.where(m[:, None, None], Q, 0.0)
+
+    # ---- phase 4: compose and apply to the covariance ---------------------
+    def compose(a, b):
+        # a happened first: (Phi_b Phi_a, Phi_b Q_a Phi_b^T + Q_b)
+        Pa, Qa = a
+        Pb, Qb = b
+        Pc = jnp.einsum("...ij,...jk->...ik", Pb, Pa)
+        Qc = jnp.einsum("...ij,...jk,...lk->...il", Pb, Qa, Pb) + Qb
+        return Pc, Qc
+
+    Phi_tot, Q_tot = jax.tree.map(
+        lambda x: x[-1], lax.associative_scan(compose, (Phi, Q))
+    )
 
     cov = state.cov
-    P_ii = Phi @ cov[:IMU_DIM, :IMU_DIM] @ Phi.T + Q
-    P_ic = Phi @ cov[:IMU_DIM, IMU_DIM:]
+    P_ii = Phi_tot @ cov[:IMU_DIM, :IMU_DIM] @ Phi_tot.T + Q_tot
+    P_ic = Phi_tot @ cov[:IMU_DIM, IMU_DIM:]
     cov = cov.at[:IMU_DIM, :IMU_DIM].set(P_ii)
     cov = cov.at[:IMU_DIM, IMU_DIM:].set(P_ic)
     cov = cov.at[IMU_DIM:, :IMU_DIM].set(P_ic.T)
     cov = (cov + cov.T) / 2.0
 
-    imu = imu._replace(sid=imu.sid + 1)
+    n_valid = jnp.sum(m.astype(jnp.int32))
+    any_valid = n_valid > 0
+    last = jnp.maximum(n_valid - 1, 0)
+
+    def pick(new_arr, old):
+        return jnp.where(any_valid, new_arr[last], old)
+
+    q_new = pick(q_next, imu.q)
+    v_new = pick(v_next, imu.v)
+    p_new = pick(p_next, imu.p)
+    imu = imu._replace(
+        q=q_new, v=v_new, p=p_new,
+        # anchors move only when at least one step actually ran
+        q_null=jnp.where(any_valid, q_new, imu.q_null),
+        v_null=jnp.where(any_valid, v_new, imu.v_null),
+        p_null=jnp.where(any_valid, p_new, imu.p_null),
+        timestamp=jnp.where(any_valid, imu_t[last], imu.timestamp),
+        sid=imu.sid + 1,
+    )
     return state._replace(imu=imu, cov=cov)

@@ -29,7 +29,7 @@ from ...utils import quaternion as quat
 from . import triangulation as tri
 from .propagation import propagate
 from .state import IMU_DIM, CamWindow, FeatureTable, FilterState, MsckfParams, reset_cov
-from .update import apply_update, feature_block, gating_test
+from .update import apply_update, feature_block, gating_test_batch
 from ...utils.lax_helpers import dyn_update
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
@@ -240,27 +240,27 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
     # per-feature projected blocks over ALL observations
     def block_one(slot, is_proc):
         def run(_):
-            H, r, rows = feature_block(
+            return feature_block(
                 cams.q, cams.p, cams.q_null, cams.p_null,
                 table.obs[slot], table.obs_mask[slot], table.position[slot],
                 state.gravity, params.R_cam0_cam1, params.t_cam0_cam1, D,
             )
-            n = jnp.sum(table.obs_mask[slot].astype(jnp.int32))
-            ok = gating_test(H, r, rows, state.cov, params.obs_noise,
-                             params.chi2_table, n - 1)
-            return H, r, rows, ok
 
         def skip(_):
             return (
                 jnp.zeros((4 * N - 3, D), dtype),
                 jnp.zeros((4 * N - 3,), dtype),
                 jnp.zeros((), jnp.int32),
-                jnp.zeros((), bool),
             )
 
         return lax.cond(is_proc, run, skip, None)
 
-    H_blk, r_blk, rows_f, gate_ok = jax.vmap(block_one)(sel, proc)
+    H_blk, r_blk, rows_f = jax.vmap(block_one)(sel, proc)
+    dof = jnp.sum(table.obs_mask[sel].astype(jnp.int32), axis=1) - 1
+    gate_ok = gating_test_batch(
+        H_blk, r_blk, jnp.where(proc, rows_f, 0), state.cov,
+        params.obs_noise, params.chi2_table, dof,
+    )
 
     include = proc & gate_ok
     rows_inc = jnp.where(include, rows_f, 0)
@@ -356,8 +356,17 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
 
         two = table.valid & (k_inv == 2)
 
-        # triangulate uninitialized two-features over ALL their observations
-        def tri_one(slot):
+        # map-order selection of up to Kp involved features (the reference
+        # processes all of them; overflow beyond the static cap is counted
+        # by the caller via the row buffer, and their observations are still
+        # deleted below, matching the reference's cleanup)
+        Kp = cap.max_prune_feats
+        order_sel = jnp.argsort(jnp.where(two, table.seq, INT32_MAX))
+        sel = order_sel[:Kp]
+        sel_two = two[sel]
+
+        # triangulate uninitialized selected features over ALL observations
+        def tri_one(slot, is_sel):
             def run(_):
                 return _triangulate_one(state, params, config, slot,
                                         table.obs_mask[slot])
@@ -365,20 +374,23 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
             def skip(_):
                 return jnp.ones((), bool), jnp.zeros(3, dtype), jnp.zeros((), bool)
 
-            return lax.cond(two[slot] & ~table.initialized[slot], run, skip, None)
+            return lax.cond(is_sel & ~table.initialized[slot], run, skip, None)
 
-        motion_ok, new_pos, tri_ok = jax.vmap(tri_one)(jnp.arange(M))
-        need_init = two & ~table.initialized
+        motion_ok, new_pos, tri_ok = jax.vmap(tri_one)(sel, sel_two)
+        need_init = sel_two & ~table.initialized[sel]
         init_fail = need_init & (~motion_ok | ~tri_ok)
         init_done = need_init & motion_ok & tri_ok
 
         table = table._replace(
-            position=jnp.where(init_done[:, None], new_pos, table.position),
-            initialized=table.initialized | init_done,
+            position=table.position.at[sel].set(
+                jnp.where(init_done[:, None], new_pos, table.position[sel]),
+                mode="drop"),
+            initialized=table.initialized.at[sel].set(
+                table.initialized[sel] | init_done, mode="drop"),
         )
         state = state._replace(features=table)
 
-        proc = two & ~init_fail
+        proc_sel = sel_two & ~init_fail  # (Kp,) selected features to process
 
         # Jacobian blocks over the 2 involved cameras only.
         cq = cams.q[rm]
@@ -386,7 +398,7 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
         cqn = cams.q_null[rm]
         cpn = cams.p_null[rm]
 
-        def block_one(slot):
+        def block_one(slot, is_proc):
             def run(_):
                 obs2 = table.obs[slot][rm]
                 mask2 = table.obs_mask[slot][rm]
@@ -404,29 +416,29 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
                     jnp.zeros((5, D), dtype), H[:, IMU_DIM + 6 : IMU_DIM + 12],
                     0, IMU_DIM + 6 * r1,
                 )
-                ok = gating_test(Hc, r, rows, state.cov, params.obs_noise,
-                                 params.chi2_table, jnp.asarray(2, jnp.int32))
-                return Hc, r, rows, ok
+                return Hc, r, rows
 
             def skip(_):
                 return (
                     jnp.zeros((5, D), dtype),
                     jnp.zeros((5,), dtype),
                     jnp.zeros((), jnp.int32),
-                    jnp.zeros((), bool),
                 )
 
-            return lax.cond(proc[slot], run, skip, None)
+            return lax.cond(is_proc, run, skip, None)
 
-        H_blk, r_blk, rows_f, gate_ok = jax.vmap(block_one)(jnp.arange(M))
+        H_blk, r_blk, rows_f = jax.vmap(block_one)(sel, proc_sel)
+        gate_ok = gating_test_batch(
+            H_blk, r_blk, jnp.where(proc_sel, rows_f, 0), state.cov,
+            params.obs_noise, params.chi2_table,
+            jnp.full((Kp,), 2, jnp.int32),
+        )
 
-        include = proc & gate_ok
+        # sel is already in map (insertion-seq) order, so stacking order is
+        # the reference's iteration order
+        include = proc_sel & gate_ok
         rows_inc = jnp.where(include, rows_f, 0)
-        # map (insertion) order
-        order = jnp.argsort(jnp.where(include, table.seq, INT32_MAX))
-        rows_ord = rows_inc[order]
-        prefix_ord = jnp.cumsum(rows_ord) - rows_ord
-        prefix = jnp.zeros((M,), jnp.int32).at[order].set(prefix_ord)
+        prefix = jnp.cumsum(rows_inc) - rows_inc
         rows_total = jnp.sum(rows_inc)
 
         # single scatter-add (rows past a block's true height are exact zeros)
@@ -435,10 +447,10 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
             include[:, None], prefix[:, None] + jnp.arange(5)[None, :], R_BUF
         ).reshape(-1)
         H_buf = jnp.zeros((R_BUF, D), dtype).at[row_idx].add(
-            H_blk.reshape(M * 5, D), mode="drop"
+            H_blk.reshape(Kp * 5, D), mode="drop"
         )
         r_buf = jnp.zeros((R_BUF,), dtype).at[row_idx].add(
-            r_blk.reshape(M * 5), mode="drop"
+            r_blk.reshape(Kp * 5), mode="drop"
         )
 
         any_update = jnp.any(include)

@@ -169,6 +169,38 @@ def gating_test(H, r, rows_true, cov, obs_noise, chi2_table, dof):
     return gamma < chi2_table[jnp.clip(dof, 0, chi2_table.shape[0] - 1)]
 
 
+def gating_test_batch(H, r, rows_true, cov, obs_noise, chi2_table, dof):
+    """Batched, size-tiered Mahalanobis gate over per-feature blocks.
+
+    H: (B, R, D), r: (B, R), rows_true/dof: (B,).  Zero padding rows leave
+    gamma unchanged, so when every block's true rows fit in a small prefix
+    the (B, R, R) Cholesky shrinks to (B, TG, TG) — the common case (short
+    feature tracks) by a wide margin.
+    """
+
+    def gamma_of(Hs, rs):
+        m = Hs.shape[1]
+        S = jnp.einsum("bij,jk,blk->bil", Hs, cov, Hs)
+        S = S + obs_noise * jnp.eye(m, dtype=H.dtype)
+        Lc = jnp.linalg.cholesky(S)
+        y = jax.scipy.linalg.solve_triangular(Lc, rs[..., None], lower=True)[..., 0]
+        return jnp.sum(y * y, axis=-1)
+
+    R = H.shape[1]
+    TG = 32
+    if R <= TG:
+        gamma = gamma_of(H, r)
+    else:
+        gamma = lax.cond(
+            jnp.max(rows_true) <= TG,
+            lambda _: gamma_of(H[:, :TG, :], r[:, :TG]),
+            lambda _: gamma_of(H, r),
+            None,
+        )
+    thresh = chi2_table[jnp.clip(dof, 0, chi2_table.shape[0] - 1)]
+    return gamma < thresh
+
+
 def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
                  rows_true=None):
     """EKF update from the stacked (zero-padded) measurement buffer
