@@ -56,7 +56,7 @@ if __name__ == "__main__":
 
     # ---- front-end pieces ----
     pyr_f = with_highest_precision(
-        jax.jit(lambda im: tuple(pyramid.build_pyramid_with_derivs(im, 3)))
+        jax.jit(lambda im: tuple(pyramid.build_pyramid_padded(im, 3)))
     )
     print(f"pyramid+derivs      {timeit(pyr_f, img0, reps=reps):8.3f} ms")
 

@@ -65,8 +65,8 @@ if __name__ == "__main__":
 
     # ---- pyramid ----
     def pyr_body(c):
-        p = pyramid.build_pyramid_with_derivs(c + 1.0, 3)
-        return p[0][1][:H, :W]  # keep a dependency
+        p = pyramid.build_pyramid_padded(c + 1.0, 3)
+        return p[0][:H, :W]  # keep a dependency
 
     scan_time(pyr_body, img0.astype(jnp.float32), reps, "pyramid+derivs")
 
@@ -77,7 +77,7 @@ if __name__ == "__main__":
 
     scan_time(fast_body, img0.astype(jnp.float32), reps, "FAST+NMS")
 
-    pyr_f = jax.jit(lambda im: tuple(pyramid.build_pyramid_with_derivs(im, 3)))
+    pyr_f = jax.jit(lambda im: tuple(pyramid.build_pyramid_padded(im, 3)))
     pyrA = jax.block_until_ready(pyr_f(img0))
     pyrB = jax.block_until_ready(pyr_f(img1))
     F = cap.max_features

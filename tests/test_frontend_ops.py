@@ -54,8 +54,8 @@ def test_lk_matches_cv2(textured):
                criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01),
                flags=cv2.OPTFLOW_USE_INITIAL_FLOW)
     nxt_cv, st_cv, _ = cv2.calcOpticalFlowPyrLK(textured, img2, pts, pts.copy(), **lkp)
-    pyrA = pyramid.build_pyramid_with_derivs(jnp.asarray(textured), 3)
-    pyrB = pyramid.build_pyramid_with_derivs(jnp.asarray(img2), 3)
+    pyrA = pyramid.build_pyramid_padded(jnp.asarray(textured), 3)
+    pyrB = pyramid.build_pyramid_padded(jnp.asarray(img2), 3)
     nxt_j, st_j = lk.pyramidal_lk(pyrA, pyrB, jnp.asarray(pts), jnp.asarray(pts),
                                   jnp.ones(len(pts), bool))
     nxt_j, st_j = np.asarray(nxt_j), np.asarray(st_j)

@@ -49,7 +49,7 @@ class FrontendState(NamedTuple):
     cam1: jnp.ndarray  # (F,2)
     valid: jnp.ndarray  # (F,)
     next_id: jnp.ndarray  # () int32
-    prev_pyr: Tuple  # ((img, ix, iy), ...) previous cam0 pyramid
+    prev_pyr: Tuple  # (img, ...) previous cam0 pyramid, padded, level 0 first
     initialized: jnp.ndarray  # () bool
 
 
@@ -71,8 +71,8 @@ def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
     pyr = []
     hh, ww = h, w
     for _ in range(levels + 1):
-        z = jnp.zeros((hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD), jnp.float32)
-        pyr.append((z, z, z))
+        pyr.append(jnp.zeros((hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD),
+                             jnp.float32))
         hh, ww = hh // 2, ww // 2
     return FrontendState(
         ids=jnp.full((F,), -1, jnp.int32),
@@ -198,8 +198,8 @@ def frontend_step(
     n_cells = fe.grid_num
     H, W = cam0_img.shape
 
-    pyr0 = tuple(pyramid.build_pyramid_with_derivs(cam0_img, fe.pyramid_levels))
-    pyr1 = tuple(pyramid.build_pyramid_with_derivs(cam1_img, fe.pyramid_levels))
+    pyr0 = tuple(pyramid.build_pyramid_padded(cam0_img, fe.pyramid_levels))
+    pyr1 = tuple(pyramid.build_pyramid_padded(cam1_img, fe.pyramid_levels))
 
     CAND_INIT = 8  # per-cell candidates on the first frame (see docstring)
     CAND_ADD = fe.grid_max_feature_num

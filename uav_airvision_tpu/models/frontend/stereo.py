@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ...config import Config
 from ...ops import camera, lk
+from ...ops.pyramid import LK_PAD
 from ...utils import quaternion as quat
 from .params import FrontendParams
 
@@ -34,7 +35,10 @@ def stereo_match(
 ):
     """Returns (cam1_pts (B,2), inlier (B,))."""
     fe = config.frontend
-    h, w = pyr0[0][0].shape
+    # logical image size: pyramid level 0 carries LK_PAD of border padding
+    # (the reference culls at the true image bounds, stereo_matcher.py:82-88)
+    h = pyr0[0].shape[0] - 2 * LK_PAD
+    w = pyr0[0].shape[1] - 2 * LK_PAD
 
     R0to1 = params.R_cam1_imu.T @ params.R_cam0_imu
 

@@ -360,7 +360,7 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
         # processes all of them; overflow beyond the static cap is counted
         # by the caller via the row buffer, and their observations are still
         # deleted below, matching the reference's cleanup)
-        Kp = cap.max_prune_feats
+        Kp = min(cap.max_prune_feats, M)
         order_sel = jnp.argsort(jnp.where(two, table.seq, INT32_MAX))
         sel = order_sel[:Kp]
         sel_two = two[sel]

@@ -41,26 +41,47 @@ from .pyramid import LK_PAD
 LK_MARGIN = 10
 
 
-def _bilinear_patch(img, corner_xy, size):
-    """Extract a (size, size) patch at fractional corner (x, y) via a
-    (size+1, size+1) integer slice + 4-tap blend.  Starts are clamped by
-    dynamic_slice at the borders (approximates OpenCV's padded border)."""
+_SCHARR_SMOOTH = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
+_SCHARR_DIFF = (-1.0, 0.0, 1.0)
+
+
+def _template_patches(img, corner_xy, win):
+    """(I, Ix, Iy) template patches at fractional corner (x, y).
+
+    One (win+3, win+3) integer gather + 4-tap bilinear blend gives a
+    (win+2, win+2) shifted window; the Scharr derivatives are then valid
+    3x3 convolutions of that window (cv2 computes derivatives on the full
+    image and samples them bilinearly — convolution and bilinear shift are
+    both LTI, so computing the derivative after the shift is identical and
+    avoids gathering two extra derivative planes from HBM)."""
     cx, cy = corner_xy[0], corner_xy[1]
-    ix = jnp.floor(cx)
-    iy = jnp.floor(cy)
-    ax = (cx - ix).astype(img.dtype)
-    ay = (cy - iy).astype(img.dtype)
-    raw = dyn_slice(img, (size + 1, size + 1), iy.astype(jnp.int32), ix.astype(jnp.int32))
+    fx = jnp.floor(cx)
+    fy = jnp.floor(cy)
+    ax = (cx - fx).astype(img.dtype)
+    ay = (cy - fy).astype(img.dtype)
+    n = win + 3
+    raw = dyn_slice(img, (n, n), fy.astype(jnp.int32) - 1, fx.astype(jnp.int32) - 1)
     w00 = (1 - ax) * (1 - ay)
     w01 = ax * (1 - ay)
     w10 = (1 - ax) * ay
     w11 = ax * ay
-    return (
-        w00 * raw[:size, :size]
-        + w01 * raw[:size, 1 : size + 1]
-        + w10 * raw[1 : size + 1, :size]
-        + w11 * raw[1 : size + 1, 1 : size + 1]
-    )
+    T = (
+        w00 * raw[: n - 1, : n - 1]
+        + w01 * raw[: n - 1, 1:]
+        + w10 * raw[1:, : n - 1]
+        + w11 * raw[1:, 1:]
+    )  # (win+2, win+2) window whose [1:-1, 1:-1] is the image patch
+
+    sm, df = _SCHARR_SMOOTH, _SCHARR_DIFF
+
+    def sep3(ky, kx):
+        v = ky[0] * T[:-2, :] + ky[1] * T[1:-1, :] + ky[2] * T[2:, :]
+        return kx[0] * v[:, :-2] + kx[1] * v[:, 1:-1] + kx[2] * v[:, 2:]
+
+    patch_i = T[1:-1, 1:-1]
+    patch_ix = sep3(sm, df)
+    patch_iy = sep3(df, sm)
+    return patch_i, patch_ix, patch_iy
 
 
 def _bilinear_axis_weights(frac_pos, n_out, n_in, dtype):
@@ -75,7 +96,7 @@ def _bilinear_axis_weights(frac_pos, n_out, n_in, dtype):
 
 
 def _track_level(
-    prev_img, prev_ix, prev_iy, curr_img,
+    prev_img, curr_img,
     prev_pts_l, next_pts_l, valid,
     win, max_iter, eps2, min_eig_thresh, is_level0,
 ):
@@ -91,9 +112,9 @@ def _track_level(
 
     corner_prev = prev_pts_l - half + LK_PAD  # (F,2) padded-array coords
 
-    patch_I = jax.vmap(lambda c: _bilinear_patch(prev_img, c, win))(corner_prev)
-    patch_ix = jax.vmap(lambda c: _bilinear_patch(prev_ix, c, win))(corner_prev)
-    patch_iy = jax.vmap(lambda c: _bilinear_patch(prev_iy, c, win))(corner_prev)
+    patch_I, patch_ix, patch_iy = jax.vmap(
+        lambda c: _template_patches(prev_img, c, win)
+    )(corner_prev)
 
     a11 = jnp.sum(patch_ix * patch_ix, axis=(1, 2))
     a12 = jnp.sum(patch_ix * patch_iy, axis=(1, 2))
@@ -213,8 +234,8 @@ def _track_level(
 
 
 def pyramidal_lk(
-    prev_levels: Sequence[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
-    curr_levels: Sequence[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    prev_levels: Sequence[jnp.ndarray],  # padded images, level 0 first
+    curr_levels: Sequence[jnp.ndarray],
     prev_pts: jnp.ndarray,  # (F,2) full-res pixel coords
     init_next_pts: jnp.ndarray,  # (F,2) initial guess (USE_INITIAL_FLOW)
     valid: jnp.ndarray,  # (F,) bool
@@ -230,10 +251,8 @@ def pyramidal_lk(
     status = valid
     for L in reversed(range(n_levels)):
         scale = 1.0 / (1 << L)
-        p_img, p_ix, p_iy = prev_levels[L]
-        c_img, _, _ = curr_levels[L]
         pts_l, st = _track_level(
-            p_img, p_ix, p_iy, c_img,
+            prev_levels[L], curr_levels[L],
             prev_pts * scale, next_pts * scale, valid,
             win, max_iter, eps2, min_eig_threshold, is_level0=(L == 0),
         )

@@ -67,18 +67,17 @@ def scharr_derivs(img) -> Tuple[jnp.ndarray, jnp.ndarray]:
 LK_PAD = 17  # window 15 + bilinear margin; matches cv2's per-level border
 
 
-def build_pyramid_with_derivs(img, levels: int, pad: int = LK_PAD):
-    """[(image, ix, iy)] per level, each padded by ``pad`` pixels so LK can
-    sample windows that partially leave the image (cv2 pads each level with
-    the window size: image border REFLECT_101, derivative border zero).
-    Coordinates into these arrays are shifted by +pad (ops/lk.py handles it).
+def build_pyramid_padded(img, levels: int, pad: int = LK_PAD):
+    """[image] per level, each padded by ``pad`` pixels (REFLECT_101) so LK
+    can sample windows that partially leave the image (cv2 pads each level
+    with the window size).  Coordinates into these arrays are shifted by
+    +pad (ops/lk.py handles it).
+
+    Derivative planes are NOT materialized: LK computes Scharr gradients
+    directly on each feature's gathered template window — convolution
+    commutes with the bilinear shift, so the result is identical to sampling
+    pre-computed derivative images (away from the zero-padded border, where
+    cv2's zero derivative padding differed anyway only for status-marginal
+    edge features).
     """
-    pyr = build_pyramid(img, levels)
-    out = []
-    for p in pyr:
-        ix, iy = scharr_derivs(p)
-        p_pad = jnp.pad(p, pad, mode="reflect")
-        ix_pad = jnp.pad(ix, pad)
-        iy_pad = jnp.pad(iy, pad)
-        out.append((p_pad, ix_pad, iy_pad))
-    return out
+    return [jnp.pad(p, pad, mode="reflect") for p in build_pyramid(img, levels)]
