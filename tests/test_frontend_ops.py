@@ -79,7 +79,7 @@ def test_undistort_matches_cv2():
         pp.reshape(-1, 1, 2), K, np.array(coeffs), None, np.eye(3), np.eye(3)
     ).reshape(-1, 2)
     got = np.asarray(camera.undistort_points(jnp.asarray(pp), intr, "radtan", coeffs))
-    # cv2 runs 5 fixed-point iterations, we run 8 -> both near the true inverse
+    # both run the same 5 fixed-point iterations -> near-identical
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
@@ -104,9 +104,9 @@ def test_undistort_distort_roundtrip():
     pp = rng.uniform([60, 60], [690, 420], (100, 2))
     und = camera.undistort_points(jnp.asarray(pp), intr, "radtan", coeffs)
     back = camera.distort_points(und, intr, "radtan", coeffs)
-    # the fixed-point inverse converges slowly at the image corners; 8
-    # iterations leave <6e-3 px there (cv2's 5 iterations leave more)
-    np.testing.assert_allclose(np.asarray(back), pp, atol=1e-2)
+    # the fixed-point inverse converges slowly at the image corners; we run
+    # cv2's exact 5 iterations (parity), which leave ~0.2 px there
+    np.testing.assert_allclose(np.asarray(back), pp, atol=0.25)
     # interior points are tight
     inner = (np.abs(pp[:, 0] - 367) < 200) & (np.abs(pp[:, 1] - 248) < 130)
-    np.testing.assert_allclose(np.asarray(back)[inner], pp[inner], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(back)[inner], pp[inner], atol=2e-3)

@@ -172,14 +172,33 @@ def _detection_mask(img_shape, pts, valid):
 
 def _normalize_publish(state_ids, lifetime, cam0, cam1, valid,
                        params: FrontendParams, config: Config):
-    und0 = camera.undistort_points(
-        cam0, params.cam0_intrinsics, config.calib.cam0_distortion_model,
-        params.cam0_coeffs,
-    )
-    und1 = camera.undistort_points(
-        cam1, params.cam1_intrinsics, config.calib.cam1_distortion_model,
-        params.cam1_coeffs,
-    )
+    F = cam0.shape[0]
+    if config.calib.cam0_distortion_model == config.calib.cam1_distortion_model:
+        # one batched undistort with per-point camera parameters: the
+        # fixed-point iteration is op-count bound, not size bound
+        def pair(a, b):
+            return jnp.concatenate(
+                [jnp.full((F,), a, cam0.dtype), jnp.full((F,), b, cam0.dtype)]
+            )
+
+        intr = tuple(pair(a, b) for a, b in
+                     zip(params.cam0_intrinsics, params.cam1_intrinsics))
+        coeffs = tuple(pair(a, b) for a, b in
+                       zip(params.cam0_coeffs, params.cam1_coeffs))
+        und = camera.undistort_points(
+            jnp.concatenate([cam0, cam1]), intr,
+            config.calib.cam0_distortion_model, coeffs,
+        )
+        und0, und1 = und[:F], und[F:]
+    else:
+        und0 = camera.undistort_points(
+            cam0, params.cam0_intrinsics, config.calib.cam0_distortion_model,
+            params.cam0_coeffs,
+        )
+        und1 = camera.undistort_points(
+            cam1, params.cam1_intrinsics, config.calib.cam1_distortion_model,
+            params.cam1_coeffs,
+        )
     uv = jnp.concatenate([und0, und1], axis=-1)
     return jnp.where(valid, state_ids, -1), jnp.where(valid[:, None], uv, 0.0), valid
 

@@ -81,14 +81,12 @@ def stereo_match(
     # epipolar residual, reference expression preserved verbatim
     t01 = params.R_cam1_imu.T @ (params.t_cam0_imu - params.t_cam1_imu)
     E = quat.skew(t01) @ R0to1
-    und0 = camera.undistort_points(
-        cam0_pts, params.cam0_intrinsics, config.calib.cam0_distortion_model,
-        params.cam0_coeffs,
+    # both sides use the cam0 model (reference quirk) -> one batched call
+    und_both = camera.undistort_points(
+        jnp.concatenate([cam0_pts, p1]), params.cam0_intrinsics,
+        config.calib.cam0_distortion_model, params.cam0_coeffs,
     )
-    und1 = camera.undistort_points(
-        p1, params.cam0_intrinsics, config.calib.cam0_distortion_model,
-        params.cam0_coeffs,
-    )
+    und0, und1 = und_both[: cam0_pts.shape[0]], und_both[cam0_pts.shape[0] :]
     fx, fy = params.cam0_intrinsics[0], params.cam0_intrinsics[1]
     norm_unit = 4.0 / (2.0 * fx + 2.0 * fy)
     ones = jnp.ones((und0.shape[0], 1), und0.dtype)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-UNDISTORT_ITERS = 8  # cv2 uses 5; a few extra for tighter convergence
+UNDISTORT_ITERS = 5  # cv2.undistortPoints' fixed-point iteration count
 
 
 def _k_matrix(intrinsics, dtype):
