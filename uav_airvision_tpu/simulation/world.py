@@ -161,9 +161,19 @@ class StereoWorld:
         val = val + rng.normal(0, 1.0, val.shape)
         return np.clip(val, 0, 255).astype(np.uint8)
 
-    def render_frame(self, t, rng=None):
-        """Render the stereo pair at trajectory time t."""
+    def render_frame(self, t, rng=None, starve_window=None):
+        """Render the stereo pair at trajectory time t.
+
+        starve_window: optional (t0, t1) fault-injection interval during
+        which the scene is textureless (uniform gray + sensor noise) —
+        starves FAST of corners to exercise feature-loss recovery paths
+        (gap called out in SURVEY.md section 5: the reference has no fault
+        injection)."""
         rng = rng or np.random.default_rng(int(t * 1e6) & 0xFFFFFF)
+        if starve_window is not None and starve_window[0] <= t < starve_window[1]:
+            flat0 = np.clip(128.0 + rng.normal(0, 1.0, (self.H, self.W)), 0, 255)
+            flat1 = np.clip(128.0 + rng.normal(0, 1.0, (self.H, self.W)), 0, 255)
+            return flat0.astype(np.uint8), flat1.astype(np.uint8)
         R_i_w = self.traj.R_i_w(t)
         p = self.traj.pos(t)
         # cam -> world pose
@@ -176,7 +186,9 @@ class StereoWorld:
         return img0, img1
 
     def imu_stream(self, duration, rate=200, gyro_bias=(2e-3, -1e-3, 5e-4),
-                   noise=1e-3, seed=0, g=9.81):
+                   noise=1e-3, seed=0, g=9.81, dropout_window=None):
+        """IMU samples; dropout_window=(t0, t1) optionally removes every
+        sample in that interval (sensor-outage fault injection)."""
         rng = np.random.default_rng(seed)
         g_w = np.array([0.0, 0.0, -g])
         bg = np.asarray(gyro_bias)
@@ -188,6 +200,9 @@ class StereoWorld:
             R_wi = self.traj.R_i_w(t).T
             w[i] = self.traj.omega_body(t) + bg + rng.normal(0, noise, 3)
             a[i] = R_wi @ (self.traj.acc(t) - g_w) + rng.normal(0, noise, 3)
+        if dropout_window is not None:
+            keep = (ts < dropout_window[0]) | (ts >= dropout_window[1])
+            ts, w, a = ts[keep], w[keep], a[keep]
         return ts, w, a
 
     def frame_times(self, duration, fps=20):
