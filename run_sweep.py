@@ -54,12 +54,13 @@ def main():
             state, outs = run_sequence(config, frames, pb.gyro_bias, pb.acc_mean)
             act = np.asarray(outs.active)
             writer = TrajectoryWriter(dataset_name=seq, offset=str(int(off)))
-            writer.write_batch(np.asarray(outs.timestamp), np.asarray(outs.p),
+            ts_abs = pb.time_base + np.asarray(outs.timestamp, np.float64)
+            writer.write_batch(ts_abs, np.asarray(outs.p),
                                np.asarray(outs.q), act)
             if gt is not None:
-                a = ate(np.asarray(outs.timestamp)[act], np.asarray(outs.p)[act],
+                a = ate(ts_abs[act], np.asarray(outs.p)[act],
                         gt["timestamp"], gt["p"])
-                r = rte(np.asarray(outs.timestamp)[act], np.asarray(outs.p)[act],
+                r = rte(ts_abs[act], np.asarray(outs.p)[act],
                         gt["timestamp"], gt["p"])
                 print(f"[{seq} offset {off}] ATE {a['rmse']:.4f} RTE {r['rmse']:.4f}")
                 if best is None or a["rmse"] < best["ate_rmse"]:

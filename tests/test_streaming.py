@@ -22,10 +22,13 @@ def test_prebatch_windows_cover_stream_exactly_once():
     t_ready = imu_t[199]
     np.testing.assert_array_equal(pb.active, frame_ts >= t_ready)
 
+    # device-side times are rebased to the first frame stamp (float32 safety)
+    assert pb.time_base == frame_ts[0]
+
     # every message in (first_active_frame_t, last_frame_t] appears exactly once
     first_active = frame_ts[pb.active][0]
     last = frame_ts[-1]
-    expect = imu_t[(imu_t >= first_active) & (imu_t <= last)]
+    expect = imu_t[(imu_t >= first_active) & (imu_t <= last)] - pb.time_base
     got = np.sort(pb.imu_t[pb.imu_mask])
     # the first active frame may include the message exactly at its stamp
     assert len(got) in (len(expect), len(expect) + 1)
@@ -33,13 +36,14 @@ def test_prebatch_windows_cover_stream_exactly_once():
 
     # windows are per-frame contiguous and within (prev_t, t]
     act_idx = np.nonzero(pb.active)[0]
+    frame_rel = frame_ts - pb.time_base
     for i, k in enumerate(act_idx[1:], 1):
         tmask = pb.imu_mask[k]
         if not tmask.any():
             continue
         tw = pb.imu_t[k][tmask]
-        assert tw.max() <= frame_ts[k] + 1e-12
-        assert tw.min() > frame_ts[act_idx[i - 1]]
+        assert tw.max() <= frame_rel[k] + 1e-12
+        assert tw.min() > frame_rel[act_idx[i - 1]]
 
     # init constants are the mean of the first 200 messages
     np.testing.assert_allclose(pb.gyro_bias, imu_w[:200].mean(axis=0))

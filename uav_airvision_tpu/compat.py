@@ -117,6 +117,7 @@ class MSCKF:
         self.state = None
         self.imu_buffer = []
         self.is_gravity_set = False
+        self.time_base = None  # float32-device time rebase (see prebatch.py)
 
     def imu_callback(self, msg):
         """Buffer; initialize gravity/bias after imu_init_msgs messages
@@ -156,8 +157,12 @@ class MSCKF:
         if not self.is_gravity_set:
             return None
         t = msg.timestamp
+        if self.time_base is None:
+            self.time_base = t
         first = not bool(self.state.started)
         imu_t, imu_w, imu_a, imu_m = self._imu_slice(t, first)
+        imu_t = np.where(imu_m, imu_t - self.time_base, 0.0)
+        t = t - self.time_base
         cap = self.config.capacity
         K = cap.max_features
         ids = np.full(K, -1, np.int32)
@@ -180,8 +185,9 @@ class MSCKF:
             active=jnp.asarray(True),
         )
         self.state, out = self._step(self.state, frame)
-        return vio_result(float(out.timestamp), np.asarray(out.p),
-                          np.asarray(out.q), np.asarray(out.v))
+        return vio_result(self.time_base + float(out.timestamp),
+                          np.asarray(out.p), np.asarray(out.q),
+                          np.asarray(out.v))
 
     def reset(self):
         """Full reset keeping biases/extrinsics zeroed state (reference
@@ -189,6 +195,7 @@ class MSCKF:
         self.state = None
         self.imu_buffer = []
         self.is_gravity_set = False
+        self.time_base = None
 
     def reset_state_cov(self):
         """Re-initialize only the covariance (reference reset_state_cov,

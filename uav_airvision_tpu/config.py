@@ -85,6 +85,11 @@ class FrontendConfig:
     # already sub-pixel for true matches, so the coarse levels add cost but
     # no discrimination.  Set True for the reference's full-pyramid backward.
     stereo_full_backward: bool = False
+    # True: build the 7x7 detection mask from post-stereo tracked features
+    # (the reference's exact order, costs one extra LK batch); False: build
+    # it from pre-stereo temporal tracks so tracked + candidate stereo
+    # matches run as one batched call.
+    exact_adder_mask: bool = False
 
     @property
     def grid_num(self) -> int:

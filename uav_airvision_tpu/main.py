@@ -115,10 +115,10 @@ def run_batch(args):
     print(f"[run] {n} frames in {wall:.2f}s ({n / wall:.1f} fps incl. compile)")
 
     act = np.asarray(outs.active)
+    # device times are rebased (float32-safe); restore absolute stamps here
+    ts_abs = pb.time_base + np.asarray(outs.timestamp, np.float64)
     writer = TrajectoryWriter(dataset_name=name, offset=str(int(args.offset)))
-    writer.write_batch(
-        np.asarray(outs.timestamp), np.asarray(outs.p), np.asarray(outs.q), act
-    )
+    writer.write_batch(ts_abs, np.asarray(outs.p), np.asarray(outs.q), act)
     print(f"[out] trajectory -> {writer.path} ({act.sum()} poses)")
 
     if args.eval and gt is not None:
@@ -126,8 +126,8 @@ def run_batch(args):
 
         gts = gt["timestamp"] if isinstance(gt, dict) else gt[0]
         gtp = gt["p"] if isinstance(gt, dict) else gt[1]
-        a = ate(np.asarray(outs.timestamp)[act], np.asarray(outs.p)[act], gts, gtp)
-        r = rte(np.asarray(outs.timestamp)[act], np.asarray(outs.p)[act], gts, gtp)
+        a = ate(ts_abs[act], np.asarray(outs.p)[act], gts, gtp)
+        r = rte(ts_abs[act], np.asarray(outs.p)[act], gts, gtp)
         print(f"[eval] ATE rmse={a['rmse']:.4f}m mean={a['mean']:.4f}m | "
               f"RTE rmse={r['rmse']:.4f}m")
 

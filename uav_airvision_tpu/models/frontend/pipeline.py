@@ -276,22 +276,32 @@ def frontend_step(
                 & (curr[:, 1] >= 0) & (curr[:, 1] <= H - 1)
         after_tracking = jnp.sum(st.astype(jnp.int32)).astype(jnp.int32)
 
-        # The detection mask needs only the temporally-tracked positions, so
-        # the tracked-feature stereo match and the adder-candidate stereo
-        # match can run as ONE batched LK call (the reference runs them as
-        # two separate cv2 calls; batching them doubles the LK feature axis
-        # instead, which is nearly free on the TPU).
-        det_mask = _detection_mask((H, W), curr, st)
-        apts, ascore, aarrival, avalid = _detection_candidates(
-            cam0_img, det_mask, config, CAND_ADD
-        )
-        both_pts = jnp.concatenate([curr, apts])
-        both_valid = jnp.concatenate([st, avalid])
-        both_cam1, both_inlier = stereo_match(
-            pyr0, pyr1, both_pts, both_valid, params, config
-        )
-        cam1_curr, match = both_cam1[:F], both_inlier[:F]
-        acam1, ainlier = both_cam1[F:], both_inlier[F:]
+        if fe.exact_adder_mask:
+            # reference order: stereo-rematch the temporal tracks first, mask
+            # around the survivors, then stereo the new candidates separately
+            cam1_curr, match = stereo_match(pyr0, pyr1, curr, st, params, config)
+            det_mask = _detection_mask((H, W), curr, st & match)
+            apts, ascore, aarrival, avalid = _detection_candidates(
+                cam0_img, det_mask, config, CAND_ADD
+            )
+            acam1, ainlier = stereo_match(pyr0, pyr1, apts, avalid, params, config)
+        else:
+            # The detection mask needs only the temporally-tracked positions,
+            # so the tracked-feature stereo match and the adder-candidate
+            # stereo match can run as ONE batched LK call (the reference runs
+            # them as two separate cv2 calls; batching them doubles the LK
+            # feature axis instead, which is nearly free on the TPU).
+            det_mask = _detection_mask((H, W), curr, st)
+            apts, ascore, aarrival, avalid = _detection_candidates(
+                cam0_img, det_mask, config, CAND_ADD
+            )
+            both_pts = jnp.concatenate([curr, apts])
+            both_valid = jnp.concatenate([st, avalid])
+            both_cam1, both_inlier = stereo_match(
+                pyr0, pyr1, both_pts, both_valid, params, config
+            )
+            cam1_curr, match = both_cam1[:F], both_inlier[:F]
+            acam1, ainlier = both_cam1[F:], both_inlier[F:]
 
         tracked = st & match
         after_matching = jnp.sum(tracked.astype(jnp.int32)).astype(jnp.int32)

@@ -44,6 +44,11 @@ LK_MARGIN = 10
 _SCHARR_SMOOTH = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
 _SCHARR_DIFF = (-1.0, 0.0, 1.0)
 
+# cv2 zero-pads the derivative planes outside the true image while the image
+# itself is REFLECT_101-padded; emulate that by zeroing gradient patch pixels
+# whose sample position falls outside the image (border features only).
+DERIV_ZERO_OUTSIDE = True
+
 
 def _template_patches(img, corner_xy, win):
     """(I, Ix, Iy) template patches at fractional corner (x, y).
@@ -81,6 +86,16 @@ def _template_patches(img, corner_xy, win):
     patch_i = T[1:-1, 1:-1]
     patch_ix = sep3(sm, df)
     patch_iy = sep3(df, sm)
+    if DERIV_ZERO_OUTSIDE:
+        HP, WP = img.shape
+        ys = cy + jnp.arange(win, dtype=img.dtype)  # patch pixel centers
+        xs = cx + jnp.arange(win, dtype=img.dtype)
+        inside = (
+            ((ys >= LK_PAD) & (ys <= HP - 1 - LK_PAD))[:, None]
+            & ((xs >= LK_PAD) & (xs <= WP - 1 - LK_PAD))[None, :]
+        ).astype(img.dtype)
+        patch_ix = patch_ix * inside
+        patch_iy = patch_iy * inside
     return patch_i, patch_ix, patch_iy
 
 

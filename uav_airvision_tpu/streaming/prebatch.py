@@ -23,7 +23,12 @@ import numpy as np
 
 @dataclass
 class PrebatchedSequence:
-    timestamps: np.ndarray  # (T,)
+    # All times are REBASED to time_base (the first frame's absolute stamp):
+    # the device computes with float32, whose resolution at EuRoC's absolute
+    # epoch stamps (~1.4e9 s) is about two minutes — rebasing keeps per-frame
+    # dt exact.  Absolute time = time_base + t.
+    time_base: float
+    timestamps: np.ndarray  # (T,) rebased
     imu_t: np.ndarray  # (T, I)
     imu_w: np.ndarray  # (T, I, 3)
     imu_a: np.ndarray  # (T, I, 3)
@@ -43,6 +48,9 @@ def prebatch_imu(frame_ts, imu_t, imu_w, imu_a, max_imu_per_frame,
     """
     frame_ts = np.asarray(frame_ts, np.float64)
     imu_t = np.asarray(imu_t, np.float64)
+    time_base = float(frame_ts[0]) if len(frame_ts) else 0.0
+    frame_ts = frame_ts - time_base
+    imu_t = imu_t - time_base
     T = len(frame_ts)
     I = max_imu_per_frame
 
@@ -105,6 +113,7 @@ def prebatch_imu(frame_ts, imu_t, imu_w, imu_a, max_imu_per_frame,
         fptr = end  # buffer truncation (imu_processor.py:66)
 
     return PrebatchedSequence(
+        time_base=time_base,
         timestamps=frame_ts,
         imu_t=out_t, imu_w=out_w, imu_a=out_a, imu_mask=out_m,
         fe_mean_w=fe_mean, fe_dt=fe_dt, active=active,

@@ -54,6 +54,7 @@ class VIO:
 
         self.fe_state = init_frontend_state(config)
         self.filter_state = None  # created after gravity init
+        self.time_base = None  # float32-device time rebase (see prebatch.py)
         self.imu_buffer = []  # (t, w, a)
         self.fe_ptr_t = -np.inf  # front-end window truncation point
         self.prev_img_t = None
@@ -152,10 +153,13 @@ class VIO:
                 # first processed frame: discard everything before its stamp
                 self.imu_buffer = [m for m in self.imu_buffer if m[0] >= t]
                 imu_t, imu_w, imu_a, imu_m = self._backend_imu_slice(t)
+            if self.time_base is None:
+                self.time_base = t
+            base = self.time_base
             dtype = self.filter_state.cov.dtype
             frame = FrameInput(
-                timestamp=jnp.asarray(t, dtype),
-                imu_t=jnp.asarray(imu_t, dtype),
+                timestamp=jnp.asarray(t - base, dtype),
+                imu_t=jnp.asarray(np.where(imu_m, imu_t - base, 0.0), dtype),
                 imu_w=jnp.asarray(imu_w, dtype),
                 imu_a=jnp.asarray(imu_a, dtype),
                 imu_mask=jnp.asarray(imu_m),
@@ -175,7 +179,8 @@ class VIO:
         q = np.asarray(out.q)
         p = np.asarray(out.p)
         v = np.asarray(out.v)
-        self.writer.append(float(out.timestamp), p, q)
+        t_abs = (self.time_base or 0.0) + float(out.timestamp)
+        self.writer.append(t_abs, p, q)
 
         R_w_i = np.asarray(quat.to_rotation(jnp.asarray(q)))
         Tib = self.config.np_T_imu_body()
@@ -191,6 +196,6 @@ class VIO:
         R_w_c = np.asarray(imu.R_imu_cam0) @ R_w_i
         t_c_w = p + R_w_i.T @ np.asarray(imu.t_cam0_imu)
         cam0_pose = Isometry(jnp.asarray(R_w_c.T), jnp.asarray(t_c_w))
-        result = vio_result(float(out.timestamp), body_pose, body_velocity, cam0_pose)
+        result = vio_result(t_abs, body_pose, body_velocity, cam0_pose)
         self.results.append(result)
         return result
