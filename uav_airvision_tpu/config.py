@@ -164,7 +164,7 @@ class CapacityConfig:
     Jacobian-stack cap at reference src/msckf.py:667).
     """
 
-    max_features: int = 128  # front-end feature slots (>= grid_num * grid_max = 100)
+    max_features: int = 104  # front-end feature slots (>= grid_num * grid_max = 100)
     max_map_features: int = 256  # estimator map-server slots
     max_cam_states: int = 20  # sliding window (== max_cam_state_size)
     max_imu_per_frame: int = 64  # padded per-frame IMU slice

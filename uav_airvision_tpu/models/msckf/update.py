@@ -232,18 +232,25 @@ def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
         delta, KH = _gain(H_buf, r_buf)
     else:
         # Tiered: the buffer is mostly padding in steady state.  The small
-        # tier uses the rows directly (the reference's no-QR branch, exact);
+        # tiers use the rows directly (the reference's no-QR branch, exact);
         # the rare overflow tier compresses with thin QR first.
-        TIER = 2 * D
+        T1 = D + 7 - (D + 7) % 8  # one-Cholesky-of-D-ish tier
+        T2 = 2 * D
 
-        def small(_):
-            return _gain(H_buf[:TIER], r_buf[:TIER])
+        def tier1(_):
+            return _gain(H_buf[:T1], r_buf[:T1])
+
+        def tier2(_):
+            return _gain(H_buf[:T2], r_buf[:T2])
 
         def full(_):
             Q, R = jnp.linalg.qr(H_buf, mode="reduced")
             return _gain(R, Q.T @ r_buf)
 
-        delta, KH = lax.cond(rows_true <= TIER, small, full, None)
+        delta, KH = lax.cond(
+            rows_true <= T1, tier1,
+            lambda _: lax.cond(rows_true <= T2, tier2, full, None), None,
+        )
 
     d_imu = delta[:IMU_DIM]
     imu = state.imu

@@ -38,7 +38,7 @@ from .pyramid import LK_PAD
 # few pixels (coarser levels have already absorbed the large motion); points
 # that try to leave the window are frozen at the boundary, which mirrors
 # OpenCV's behavior of losing such tracks at level 0 anyway.
-LK_MARGIN = 10
+LK_MARGIN = 8
 
 
 _SCHARR_SMOOTH = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
