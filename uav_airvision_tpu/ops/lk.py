@@ -26,11 +26,11 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils.lax_helpers import dyn_slice
 from .pyramid import LK_PAD
 
 # Search-window margin around the initial guess, in pixels per pyramid level.
@@ -50,22 +50,59 @@ _SCHARR_DIFF = (-1.0, 0.0, 1.0)
 DERIV_ZERO_OUTSIDE = True
 
 
-def _template_patches(img, corner_xy, win):
-    """(I, Ix, Iy) template patches at fractional corner (x, y).
+def _gather_all_templates(prev_levels, prev_pts, win):
+    """Gather every level's (win+3)^2 template window in ONE sliced-gather op.
 
-    One (win+3, win+3) integer gather + 4-tap bilinear blend gives a
-    (win+2, win+2) shifted window; the Scharr derivatives are then valid
-    3x3 convolutions of that window (cv2 computes derivatives on the full
-    image and samples them bilinearly — convolution and bilinear shift are
-    both LTI, so computing the derivative after the shift is identical and
-    avoids gathering two extra derivative planes from HBM)."""
-    cx, cy = corner_xy[0], corner_xy[1]
-    fx = jnp.floor(cx)
-    fy = jnp.floor(cy)
-    ax = (cx - fx).astype(img.dtype)
-    ay = (cy - fy).astype(img.dtype)
+    All template corners are known before the coarse-to-fine loop starts
+    (unlike search windows, whose origins depend on the previous level's
+    result), so the per-level pyramid images are laid side-by-side in an
+    atlas and all n_levels * F windows come out of a single gather — slice
+    count, not bytes, is what the TPU gather costs.
+
+    Returns per-level lists of raw windows (F, n, n) and corners (F, 2).
+    """
     n = win + 3
-    raw = dyn_slice(img, (n, n), fy.astype(jnp.int32) - 1, fx.astype(jnp.int32) - 1)
+    n_levels = len(prev_levels)
+    F = prev_pts.shape[0]
+    dtype = prev_levels[0].dtype
+    H0, _ = prev_levels[0].shape
+    widths = [img.shape[1] for img in prev_levels]
+    xoff = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
+    atlas = jnp.zeros((H0, int(np.sum(widths))), dtype)
+    for L, img in enumerate(prev_levels):
+        atlas = lax.dynamic_update_slice(atlas, img, (0, int(xoff[L])))
+
+    half = (win - 1) * 0.5
+    corners = []
+    oy_all = []
+    ox_all = []
+    for L, img in enumerate(prev_levels):
+        HP, WP = img.shape
+        c = prev_pts * (1.0 / (1 << L)) - half + LK_PAD  # (F,2) padded coords
+        corners.append(c)
+        fy = jnp.clip(jnp.floor(c[:, 1]).astype(jnp.int32) - 1, 0, HP - n)
+        fx = jnp.clip(jnp.floor(c[:, 0]).astype(jnp.int32) - 1, 0, WP - n)
+        oy_all.append(fy)
+        ox_all.append(fx + xoff[L])
+    oy = jnp.concatenate(oy_all)
+    ox = jnp.concatenate(ox_all)
+    raw = jax.vmap(lambda y, x: lax.dynamic_slice(atlas, (y, x), (n, n)))(oy, ox)
+    raws = [raw[L * F : (L + 1) * F] for L in range(n_levels)]
+    return raws, corners
+
+
+def _patches_from_raw(raw, corner_xy, img_shape, win):
+    """(I, Ix, Iy) template patches from a pre-gathered (win+3)^2 window.
+
+    4-tap bilinear blend gives a (win+2)^2 shifted window; the Scharr
+    derivatives are valid 3x3 convolutions of it (cv2 computes derivatives
+    on the full image and samples them bilinearly — convolution and bilinear
+    shift are both LTI, so deriving after the shift is identical and avoids
+    gathering two extra derivative planes from HBM)."""
+    cx, cy = corner_xy[0], corner_xy[1]
+    ax = (cx - jnp.floor(cx)).astype(raw.dtype)
+    ay = (cy - jnp.floor(cy)).astype(raw.dtype)
+    n = win + 3
     w00 = (1 - ax) * (1 - ay)
     w01 = ax * (1 - ay)
     w10 = (1 - ax) * ay
@@ -87,13 +124,13 @@ def _template_patches(img, corner_xy, win):
     patch_ix = sep3(sm, df)
     patch_iy = sep3(df, sm)
     if DERIV_ZERO_OUTSIDE:
-        HP, WP = img.shape
-        ys = cy + jnp.arange(win, dtype=img.dtype)  # patch pixel centers
-        xs = cx + jnp.arange(win, dtype=img.dtype)
+        HP, WP = img_shape
+        ys = cy + jnp.arange(win, dtype=raw.dtype)  # patch pixel centers
+        xs = cx + jnp.arange(win, dtype=raw.dtype)
         inside = (
             ((ys >= LK_PAD) & (ys <= HP - 1 - LK_PAD))[:, None]
             & ((xs >= LK_PAD) & (xs <= WP - 1 - LK_PAD))[None, :]
-        ).astype(img.dtype)
+        ).astype(raw.dtype)
         patch_ix = patch_ix * inside
         patch_iy = patch_iy * inside
     return patch_i, patch_ix, patch_iy
@@ -111,25 +148,23 @@ def _bilinear_axis_weights(frac_pos, n_out, n_in, dtype):
 
 
 def _track_level(
-    prev_img, curr_img,
+    raw_templates, corner_prev, img_shape, curr_img,
     prev_pts_l, next_pts_l, valid,
     win, max_iter, eps2, min_eig_thresh, is_level0,
 ):
     """One pyramid level for all features.  Points are in level coordinates.
     Returns (next_pts_l, status_ok_level0)."""
-    dtype = prev_img.dtype
+    dtype = curr_img.dtype
     half = (win - 1) * 0.5
     # arrays are padded by LK_PAD on each side (ops/pyramid.py); logical size:
-    HP, WP = prev_img.shape
+    HP, WP = img_shape
     H = HP - 2 * LK_PAD
     W = WP - 2 * LK_PAD
     WIN = win + 1 + 2 * LK_MARGIN  # search-window side
 
-    corner_prev = prev_pts_l - half + LK_PAD  # (F,2) padded-array coords
-
     patch_I, patch_ix, patch_iy = jax.vmap(
-        lambda c: _template_patches(prev_img, c, win)
-    )(corner_prev)
+        lambda r, c: _patches_from_raw(r, c, img_shape, win)
+    )(raw_templates, corner_prev)
 
     a11 = jnp.sum(patch_ix * patch_ix, axis=(1, 2))
     a12 = jnp.sum(patch_ix * patch_iy, axis=(1, 2))
@@ -264,10 +299,11 @@ def pyramidal_lk(
     n_levels = len(prev_levels)
     next_pts = init_next_pts
     status = valid
+    raws, corners = _gather_all_templates(prev_levels, prev_pts, win)
     for L in reversed(range(n_levels)):
         scale = 1.0 / (1 << L)
         pts_l, st = _track_level(
-            prev_levels[L], curr_levels[L],
+            raws[L], corners[L], prev_levels[L].shape, curr_levels[L],
             prev_pts * scale, next_pts * scale, valid,
             win, max_iter, eps2, min_eig_threshold, is_level0=(L == 0),
         )
