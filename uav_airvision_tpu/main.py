@@ -36,7 +36,7 @@ def build_frames_from_euroc(config, path, offset):
     pb = prebatch_imu(fts, imu_t, imu_w, imu_a, config.capacity.max_imu_per_frame,
                       config.capacity.imu_init_msgs)
     frames = VioFrame(
-        timestamp=jnp.asarray(pb.timestamps, jnp.float64).astype(jnp.float32),
+        timestamp=jnp.asarray(pb.timestamps, jnp.float32),  # rebased, f32-safe
         cam0=jnp.asarray(cam0),
         cam1=jnp.asarray(cam1),
         imu_t=jnp.asarray(pb.imu_t, jnp.float32),
