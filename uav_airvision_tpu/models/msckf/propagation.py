@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ...utils import quaternion as quat
-from .state import IMU_DIM, FilterState, ImuState, MsckfParams
+from .state import IMU_DIM, FilterState, MsckfParams
 
 
 def _omega_mat(gyro, half_dt):

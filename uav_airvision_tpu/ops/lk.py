@@ -24,7 +24,7 @@ gathers.  The parallel axis is the feature batch.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 import jax
