@@ -173,11 +173,14 @@ def run_realtime(args):
     vio.start()
 
     now = time.time()
-    imu_pub = DataPublisher(dataset.imu, imu_q, duration=float("inf"), ratio=args.ratio)
-    img_pub = DataPublisher(dataset.stereo, img_q, duration=float("inf"), ratio=args.ratio)
+    dur = getattr(args, "duration", float("inf"))
+    imu_pub = DataPublisher(dataset.imu, imu_q, duration=dur, ratio=args.ratio)
+    img_pub = DataPublisher(dataset.stereo, img_q, duration=dur, ratio=args.ratio)
     imu_pub.start(now)
     img_pub.start(now)
     vio.join()
+    n = len(vio.results)
+    print(f"[realtime] {n} poses -> {writer.path}")
 
 
 def main(argv=None):
@@ -188,6 +191,9 @@ def main(argv=None):
     parser.add_argument("--mode", choices=["batch", "realtime"], default="batch")
     parser.add_argument("--ratio", type=float, default=0.4,
                         help="realtime playback speed (reference: 0.4)")
+    parser.add_argument("--duration", type=float, default=float("inf"),
+                        help="realtime mode: stop publishing after this many "
+                             "dataset seconds")
     parser.add_argument("--synthetic", type=float, default=0.0,
                         help="run the built-in simulator for N seconds instead "
                              "of a dataset")
