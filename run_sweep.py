@@ -44,7 +44,6 @@ def main():
         if not os.path.isdir(path):
             print(f"[skip] {seq}: not found under {args.root}")
             continue
-        best = None
         for off in args.offsets:
             try:
                 frames, pb, gt = build_frames_from_euroc(config, path, off)
@@ -62,15 +61,21 @@ def main():
                         gt["timestamp"], gt["p"])
                 r = rte(ts_abs[act], np.asarray(outs.p)[act],
                         gt["timestamp"], gt["p"])
+                # ate_perc: ATE RMSE as a percentage of the ground-truth path
+                # length over the evaluated span.  (The reference publishes an
+                # 'ate_perc' column but its computing script is absent from
+                # the repo, so the definition here is ours and documented.)
+                gl = np.asarray(gt["p"], np.float64)
+                path_len = float(np.sum(np.linalg.norm(np.diff(gl, axis=0), axis=1)))
+                perc = 100.0 * a["rmse"] / path_len if path_len > 0 else ""
                 print(f"[{seq} offset {off}] ATE {a['rmse']:.4f} RTE {r['rmse']:.4f}")
-                if best is None or a["rmse"] < best["ate_rmse"]:
-                    best = dict(
-                        dataset=seq, ate_rmse=a["rmse"], ate_mean=a["mean"],
-                        ate_std=a["std"], rte_rmse=r["rmse"], rte_mean=r["mean"],
-                        rte_std=r["std"], ate_perc="",
-                    )
-        if best:
-            rows.append(best)
+                # one row per (sequence, offset): the full grid, no best-of
+                rows.append(dict(
+                    dataset=f"{seq}_offset{int(off)}",
+                    ate_rmse=a["rmse"], ate_mean=a["mean"], ate_std=a["std"],
+                    rte_rmse=r["rmse"], rte_mean=r["mean"], rte_std=r["std"],
+                    ate_perc=perc,
+                ))
 
     if rows:
         os.makedirs(os.path.dirname(args.csv), exist_ok=True)

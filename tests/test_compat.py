@@ -125,3 +125,34 @@ def test_imu_dropout_stays_finite(small_cfg):
         c0, c1 = world.render_frame(t, rng)
         filt.feature_callback(ip.stereo_callback(stereo_msg(t, c0, c1, None, None)))
     assert np.isfinite(np.asarray(filt.state.cov)).all()
+
+
+def test_msckf_reset_preserves_learned_extrinsics(small_cfg):
+    """Reference reset() keeps the learned IMU-cam0 extrinsics and the state
+    id across the re-initialization (msckf.py:800-819)."""
+    filt = MSCKF(small_cfg)
+    for i in range(small_cfg.capacity.imu_init_msgs):
+        filt.imu_callback(imu_msg(i * 0.005, np.zeros(3), np.array([0, 0, 9.81])))
+    assert filt.is_gravity_set
+
+    # simulate learned extrinsics (updates touch them in real runs)
+    R_learned = np.asarray(filt.state.imu.R_imu_cam0) @ np.array(
+        [[0.9998, -0.02, 0], [0.02, 0.9998, 0], [0, 0, 1.0]])
+    t_learned = np.asarray(filt.state.imu.t_cam0_imu) + 0.003
+    filt.state = filt.state._replace(imu=filt.state.imu._replace(
+        R_imu_cam0=jnp.asarray(R_learned, filt.state.cov.dtype),
+        t_cam0_imu=jnp.asarray(t_learned, filt.state.cov.dtype),
+        sid=jnp.asarray(7, jnp.int32),
+    ))
+
+    filt.reset()
+    assert not filt.is_gravity_set
+    for i in range(small_cfg.capacity.imu_init_msgs):
+        filt.imu_callback(imu_msg(10 + i * 0.005, np.zeros(3), np.array([0, 0, 9.81])))
+    assert filt.is_gravity_set
+    np.testing.assert_allclose(np.asarray(filt.state.imu.R_imu_cam0),
+                               R_learned, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(filt.state.imu.t_cam0_imu),
+                               t_learned, atol=1e-6)
+    assert int(filt.state.imu.sid) == 7
+    assert int(filt.state.cams.count) == 0

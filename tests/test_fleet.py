@@ -26,7 +26,7 @@ def _tiny_setup(n_inst):
 def test_fleet_step_sharded_over_mesh():
     assert len(jax.devices()) >= 8, "conftest should force 8 virtual CPU devices"
     mesh = default_mesh(8)
-    n_inst = 8
+    n_inst = 64  # BASELINE.md fleet target: 64 instances / 8 devices
     cfg, state, frame = _tiny_setup(n_inst)
     state = place_fleet(state, mesh)
     frame = place_fleet(frame, mesh)

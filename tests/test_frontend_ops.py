@@ -110,3 +110,48 @@ def test_undistort_distort_roundtrip():
     # interior points are tight
     inner = (np.abs(pp[:, 0] - 367) < 200) & (np.abs(pp[:, 1] - 248) < 130)
     np.testing.assert_allclose(np.asarray(back)[inner], pp[inner], atol=2e-3)
+
+
+def test_equidistant_distort_matches_cv2_fisheye():
+    """Fisheye forward model vs cv2.fisheye.distortPoints (the reference
+    supports 'equidistant' via camera_model.py:24-47's fisheye branch)."""
+    rng = np.random.default_rng(5)
+    intr = (380.0, 379.5, 365.0, 240.0)
+    coeffs = (-0.01, 0.02, -0.005, 0.001)
+    K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1]])
+    norm = rng.uniform(-0.6, 0.6, (80, 2)).astype(np.float64)
+    want = cv2.fisheye.distortPoints(
+        norm.reshape(-1, 1, 2), K, np.array(coeffs)
+    ).reshape(-1, 2)
+    got = np.asarray(
+        camera.distort_points(jnp.asarray(norm), intr, "equidistant", coeffs)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_equidistant_undistort_matches_cv2_fisheye():
+    rng = np.random.default_rng(6)
+    intr = (380.0, 379.5, 365.0, 240.0)
+    coeffs = (-0.01, 0.02, -0.005, 0.001)
+    K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1]])
+    pp = rng.uniform([80, 80], [650, 400], (80, 2)).astype(np.float64)
+    want = cv2.fisheye.undistortPoints(
+        pp.reshape(-1, 1, 2), K, np.array(coeffs), None, np.eye(3), np.eye(3)
+    ).reshape(-1, 2)
+    got = np.asarray(
+        camera.undistort_points(jnp.asarray(pp), intr, "equidistant", coeffs,
+                                rectification=jnp.eye(3),
+                                new_intrinsics=(1.0, 1.0, 0.0, 0.0))
+    )
+    # rescale: undistort_points returns new_intrinsics=(1,1,0,0) normalized
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_equidistant_roundtrip():
+    rng = np.random.default_rng(7)
+    intr = (380.0, 379.5, 365.0, 240.0)
+    coeffs = (-0.01, 0.02, -0.005, 0.001)
+    pp = rng.uniform([80, 80], [650, 400], (80, 2))
+    und = camera.undistort_points(jnp.asarray(pp), intr, "equidistant", coeffs)
+    back = camera.distort_points(und, intr, "equidistant", coeffs)
+    np.testing.assert_allclose(np.asarray(back), pp, atol=1e-3)

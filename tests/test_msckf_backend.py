@@ -117,3 +117,69 @@ def test_window_prunes_and_features_bounded(scenario):
     _, state = _run_jax(cfg, scenario, n, jnp.float32)
     assert int(state.cams.count) <= cfg.filter.max_cam_state_size
     assert int(jnp.sum(state.features.valid)) <= cfg.capacity.max_map_features
+
+
+def test_lost_overflow_second_pass_matches_oracle():
+    """Force >64 simultaneous track losses (more than max_lost_per_frame):
+    the second marginalization pass must process the overflow within the
+    1500-row budget and stay on the oracle (which, like the reference,
+    processes ALL lost features in one stacked update)."""
+    import dataclasses
+
+    cfg64 = euroc_config(dtype="float64")
+    base = make_scenario(euroc_config(), duration=4.0, n_landmarks=120,
+                         track_len=80, seed=11)
+    n_frames = len(base.frames)
+    kcut = n_frames - 8  # all features vanish here
+    k0 = kcut - 4        # ...after exactly 4 observations each
+    frames2 = [(t, meas if k0 <= k < kcut else [])
+               for k, (t, meas) in enumerate(base.frames)]
+    sc = dataclasses.replace(base, frames=frames2)
+
+    # jax run, tracking the per-frame feature count to prove the mass loss
+    params = make_params(cfg64, dtype=jnp.float64)
+    state = init_state(cfg64, params, sc.gyro_bias, sc.acc_mean,
+                       dtype=jnp.float64)
+    cap = cfg64.capacity
+    step = jax.jit(functools.partial(backend_step, params=params, config=cfg64))
+    active = [t >= sc.imu[cap.imu_init_msgs - 1][0] for t, _ in sc.frames]
+    windows = window_imu(sc, active)
+    K, I = cap.max_features, cap.max_imu_per_frame
+    jax_out, nfeat = [], []
+    for k in range(n_frames):
+        t, meas = sc.frames[k]
+        _, window = windows[k]
+        imu_t = np.zeros(I); imu_w = np.zeros((I, 3)); imu_a = np.zeros((I, 3))
+        imu_mask = np.zeros(I, bool)
+        for j, (mt, w, a) in enumerate(window[:I]):
+            imu_t[j], imu_w[j], imu_a[j], imu_mask[j] = mt, w, a, True
+        ids = np.full(K, -1, np.int32); uv = np.zeros((K, 4)); fm = np.zeros(K, bool)
+        for j, (fid, u0, v0, u1, v1) in enumerate(meas[:K]):
+            ids[j], uv[j], fm[j] = fid, (u0, v0, u1, v1), True
+        frame = FrameInput(
+            timestamp=jnp.asarray(t, jnp.float64),
+            imu_t=jnp.asarray(imu_t, jnp.float64),
+            imu_w=jnp.asarray(imu_w, jnp.float64),
+            imu_a=jnp.asarray(imu_a, jnp.float64),
+            imu_mask=jnp.asarray(imu_mask),
+            feat_ids=jnp.asarray(ids), feat_uv=jnp.asarray(uv, jnp.float64),
+            feat_mask=jnp.asarray(fm), active=jnp.asarray(active[k]),
+        )
+        state, out = step(state, frame)
+        if bool(out.active):
+            jax_out.append((float(out.timestamp), np.asarray(out.p)))
+            nfeat.append(int(out.n_features))
+
+    # the cut frame must have marginalized more than one pass worth at once
+    drops = np.diff(np.asarray(nfeat))
+    assert drops.min() < -cfg64.capacity.max_lost_per_frame, (
+        f"test setup failed to force >{cfg64.capacity.max_lost_per_frame} "
+        f"simultaneous losses (max drop {-drops.min()})")
+
+    ora_out, _ = _run_oracle(cfg64, sc, n_frames)
+    assert len(jax_out) == len(ora_out)
+    errs = [np.linalg.norm(pj - po)
+            for (tj, pj), (to, qo, po, vo) in zip(jax_out, ora_out)]
+    # the overflow pass relinearizes after the first update, so allow a hair
+    # more than the single-update fp-noise tolerance
+    assert max(errs) < 2e-3, f"overflow-pass deviation {max(errs):.2e} m"

@@ -169,3 +169,43 @@ def test_imu_dropout_fault_injection():
         state, out = step(state, frame)
         assert bool(jnp.all(jnp.isfinite(state.cov))), f"cov blew up at frame {k}"
     assert bool(jnp.all(jnp.isfinite(state.imu.p)))
+
+
+def test_run_sequence_checkpointed_resumes_bit_identical(tmp_path):
+    """Kill a checkpointed run at frame k, resume from the snapshot: the
+    continuation must be bit-identical to the uninterrupted run."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _tiny_config, _frame
+    import jax
+    import jax.numpy as jnp
+    from uav_airvision_tpu.models.vio import (
+        run_sequence, run_sequence_checkpointed,
+    )
+
+    cfg = _tiny_config()
+    n = 12
+    frames1 = _frame(cfg, n_batch=n)  # reuse the batched builder as a time axis
+    gyro_bias = np.zeros(3)
+    acc_mean = np.array([0.05, 0.02, 9.8])
+    # give the frames a monotone clock so the filter state evolves
+    ts = jnp.asarray(np.arange(1, n + 1) * 0.05, jnp.float32)
+    frames1 = frames1._replace(
+        timestamp=ts,
+        imu_t=frames1.imu_t + ts[:, None] - 0.05,
+    )
+
+    _, ref_outs = run_sequence(cfg, frames1, gyro_bias, acc_mean)
+
+    ckdir = str(tmp_path / "ck")
+    # "killed" first run: only the first 8 frames are fed
+    part = jax.tree.map(lambda x: x[:8], frames1)
+    run_sequence_checkpointed(cfg, part, gyro_bias, acc_mean, ckdir, every=4)
+    # resume over the full sequence: frames 0-7 must be skipped
+    state2, outs2, start = run_sequence_checkpointed(
+        cfg, frames1, gyro_bias, acc_mean, ckdir, every=4)
+    assert start == 8
+    np.testing.assert_array_equal(np.asarray(outs2.p),
+                                  np.asarray(ref_outs.p[8:]))
+    np.testing.assert_array_equal(np.asarray(outs2.q),
+                                  np.asarray(ref_outs.q[8:]))

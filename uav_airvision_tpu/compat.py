@@ -56,6 +56,7 @@ class ImageProcessor:
         self._ptr_t = -np.inf
         self.prev_t = None
         self.num_features = {}
+        self._last_stereo = None  # (cam0_img, cam1_img) for draw_features_stereo
 
     def imu_callback(self, msg):
         self.imu_buffer.append(
@@ -74,10 +75,16 @@ class ImageProcessor:
         mean = (np.mean(np.stack([m[1] for m in window]), axis=0)
                 if window else np.zeros(3))
         self._ptr_t = hi
+        # reference truncates its buffer at the consumed pointer
+        # (imu_processor.py:66); without this the buffer grows without bound
+        # and the window scan above goes O(T^2) over a long stream
+        self.imu_buffer = [m for m in self.imu_buffer if m[0] >= hi]
         return mean, curr_t - self.prev_t
 
     def stereo_callback(self, stereo_msg):
         t = stereo_msg.timestamp
+        self._last_stereo = (np.asarray(stereo_msg.cam0_image),
+                             np.asarray(stereo_msg.cam1_image))
         mean_w, dt = self._mean_angular_velocity(t)
         self.state, out = self._step(
             self.state,
@@ -104,6 +111,34 @@ class ImageProcessor:
     # the reference's legacy typo alias (reference __init__.py:27)
     stareo_callback = stereo_callback
 
+    def draw_features_stereo(self, show=True):
+        """Debug overlay: current features drawn as matches on the stereo
+        pair (reference FeaturePublisher.draw_features_stereo,
+        feature_publisher.py:123-137).  Returns the composed image; ``show``
+        additionally pops the reference's cv2.imshow window (skipped
+        gracefully on headless boxes)."""
+        import cv2
+
+        if self._last_stereo is None:
+            return None
+        img0, img1 = self._last_stereo
+        cam0 = np.asarray(self.state.cam0)
+        cam1 = np.asarray(self.state.cam1)
+        vmask = np.asarray(self.state.valid)
+        kps0, kps1, matches = [], [], []
+        for i in np.nonzero(vmask)[0]:
+            matches.append(cv2.DMatch(len(kps0), len(kps0), 0))
+            kps0.append(cv2.KeyPoint(float(cam0[i, 0]), float(cam0[i, 1]), 1))
+            kps1.append(cv2.KeyPoint(float(cam1[i, 0]), float(cam1[i, 1]), 1))
+        img = cv2.drawMatches(img0, kps0, img1, kps1, matches, None, flags=2)
+        if show:
+            try:
+                cv2.imshow("stereo features", img)
+                cv2.waitKey(1)
+            except cv2.error:
+                pass  # headless build / no display
+        return img
+
 
 class MSCKF:
     """Estimator facade (reference MSCKF, src/msckf.py:96-228)."""
@@ -118,6 +153,7 @@ class MSCKF:
         self.imu_buffer = []
         self.is_gravity_set = False
         self.time_base = None  # float32-device time rebase (see prebatch.py)
+        self._kept_extrinsics = None  # (R_imu_cam0, t_cam0_imu, sid) after reset()
 
     def imu_callback(self, msg):
         """Buffer; initialize gravity/bias after imu_init_msgs messages
@@ -132,6 +168,16 @@ class MSCKF:
             gyro_bias = np.mean(np.stack([m[1] for m in self.imu_buffer[:n]]), axis=0)
             acc_mean = np.mean(np.stack([m[2] for m in self.imu_buffer[:n]]), axis=0)
             self.state = init_state(self.config, self.params, gyro_bias, acc_mean)
+            if self._kept_extrinsics is not None:
+                # reference reset() preserves the learned extrinsics and the
+                # state id across the re-initialization (msckf.py:803-807)
+                R, t, sid = self._kept_extrinsics
+                imu = self.state.imu._replace(
+                    R_imu_cam0=jnp.asarray(R, self.state.cov.dtype),
+                    t_cam0_imu=jnp.asarray(t, self.state.cov.dtype),
+                    sid=jnp.asarray(sid, jnp.int32),
+                )
+                self.state = self.state._replace(imu=imu)
             self.is_gravity_set = True
 
     def _imu_slice(self, frame_t, first):
@@ -190,8 +236,16 @@ class MSCKF:
                           np.asarray(out.v))
 
     def reset(self):
-        """Full reset keeping biases/extrinsics zeroed state (reference
-        reset, msckf.py:800-819 — present in the reference API, uncalled)."""
+        """Full reset (reference reset, msckf.py:800-819 — present in the
+        reference API, uncalled): keeps the LEARNED IMU-cam0 extrinsics and
+        the state id, clears camera window / map / IMU buffer, re-arms
+        gravity initialization."""
+        if self.state is not None:
+            self._kept_extrinsics = (
+                np.asarray(self.state.imu.R_imu_cam0),
+                np.asarray(self.state.imu.t_cam0_imu),
+                int(self.state.imu.sid),
+            )
         self.state = None
         self.imu_buffer = []
         self.is_gravity_set = False

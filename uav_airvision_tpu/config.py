@@ -169,7 +169,10 @@ class CapacityConfig:
     max_cam_states: int = 20  # sliding window (== max_cam_state_size)
     max_imu_per_frame: int = 64  # padded per-frame IMU slice
     max_lost_per_frame: int = 64  # features marginalized per frame
-    max_prune_feats: int = 96  # features processed per cam-prune update
+    max_prune_feats: int = 128  # features processed per cam-prune update
+    # (>= max_features + marginalization slack: the set of features observed
+    # by BOTH pruned cam states is bounded by the live tracked set, so 128
+    # covers it; prune_cam_states raises the warn flag if ever exceeded)
     max_update_rows: int = 1680  # 1500-row cap + one 77-row block, rounded
     max_prune_rows: int = 848  # prune-update row buffer
     fast_candidates: int = 1024  # detector candidates kept on first frame

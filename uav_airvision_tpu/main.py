@@ -100,18 +100,57 @@ def run_batch(args):
     config = euroc_config()
     name = os.path.basename(os.path.normpath(args.path)) if args.path else "synthetic"
 
-    t_load = time.time()
-    if args.synthetic:
-        frames, pb, gt = build_frames_synthetic(config, args.synthetic)
-    else:
-        frames, pb, gt = build_frames_from_euroc(config, args.path, args.offset)
-    print(f"[load] {len(pb.timestamps)} frames in {time.time()-t_load:.1f}s")
+    timer = None
+    if args.profile:
+        from .utils.profiling import StageTimer
 
-    t_run = time.time()
-    state, outs = run_sequence(config, frames, pb.gyro_bias, pb.acc_mean)
-    outs.p.block_until_ready()
-    wall = time.time() - t_run
-    n = len(pb.timestamps)
+        timer = StageTimer()
+
+    def staged(stage_name):
+        import contextlib
+
+        return timer.stage(stage_name) if timer else contextlib.nullcontext()
+
+    with staged("load"):
+        t_load = time.time()
+        if args.synthetic:
+            frames, pb, gt = build_frames_synthetic(config, args.synthetic)
+        else:
+            frames, pb, gt = build_frames_from_euroc(config, args.path, args.offset)
+        print(f"[load] {len(pb.timestamps)} frames in {time.time()-t_load:.1f}s")
+
+    start_frame = 0
+
+    def _run():
+        nonlocal start_frame
+        if args.checkpoint_dir:
+            from .models.vio import run_sequence_checkpointed
+
+            state, outs, start_frame = run_sequence_checkpointed(
+                config, frames, pb.gyro_bias, pb.acc_mean,
+                checkpoint_dir=args.checkpoint_dir,
+                every=args.checkpoint_every,
+            )
+            if start_frame:
+                print(f"[resume] from checkpointed frame {start_frame}")
+            return state, outs
+        return run_sequence(config, frames, pb.gyro_bias, pb.acc_mean)
+
+    if timer:
+        from .utils.profiling import device_trace
+
+        trace_dir = os.path.join("reports", "xprof")
+        with staged("run"), device_trace(trace_dir):
+            state, outs = _run()
+            outs.p.block_until_ready()
+        wall = timer.totals["run"]
+        print(f"[profile] device trace -> {trace_dir}")
+    else:
+        t_run = time.time()
+        state, outs = _run()
+        outs.p.block_until_ready()
+        wall = time.time() - t_run
+    n = len(pb.timestamps) - start_frame
     print(f"[run] {n} frames in {wall:.2f}s ({n / wall:.1f} fps incl. compile)")
 
     act = np.asarray(outs.active)
@@ -139,6 +178,12 @@ def run_batch(args):
             viewer.replay(np.asarray(outs.timestamp)[act], np.asarray(outs.p)[act])
         except Exception as e:  # viewer is optional (needs Qt)
             print(f"[view] viewer unavailable: {e}")
+
+    if timer:
+        os.makedirs("reports", exist_ok=True)
+        path = os.path.join("reports", "profile_stages.json")
+        timer.dump(path)
+        print(f"[profile] stage timings -> {path}\n{timer.dump()}")
 
 
 def run_realtime(args):
@@ -199,6 +244,16 @@ def main(argv=None):
                              "of a dataset")
     parser.add_argument("--eval", action="store_true",
                         help="compute ATE/RTE against ground truth")
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="batch mode: snapshot the VIO state pytree every "
+                             "--checkpoint-every frames (orbax); if the "
+                             "directory already holds snapshots, resume from "
+                             "the latest one")
+    parser.add_argument("--checkpoint-every", type=int, default=200)
+    parser.add_argument("--profile", action="store_true",
+                        help="batch mode: wrap stages in StageTimer + a "
+                             "jax.profiler device trace; dumps "
+                             "reports/profile_stages.json and reports/xprof/")
     args = parser.parse_args(argv)
 
     if args.mode == "realtime":

@@ -73,7 +73,8 @@ def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
     for _ in range(levels + 1):
         pyr.append(jnp.zeros((hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD),
                              jnp.float32))
-        hh, ww = hh // 2, ww // 2
+        # pyr_down decimates [::2] -> ceil(n/2); must match for odd sizes
+        hh, ww = (hh + 1) // 2, (ww + 1) // 2
     return FrontendState(
         ids=jnp.full((F,), -1, jnp.int32),
         lifetime=jnp.zeros((F,), jnp.int32),

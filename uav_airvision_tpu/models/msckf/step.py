@@ -188,6 +188,28 @@ def _triangulate_one(state: FilterState, params: MsckfParams, config: Config,
 
 
 def remove_lost_features(state: FilterState, params: MsckfParams, config: Config):
+    """Lost-feature marginalization with overflow fallback: when more than
+    ``max_lost_per_frame`` features are lost at once (feature-dense input),
+    a second masked pass processes the next batch within the remaining
+    1500-row budget — the reference processes ALL lost features in one stack
+    subject to the same row cap (src/msckf.py:614-676)."""
+    state, warn1, n_over1, rows1 = _remove_lost_once(
+        state, params, config, jnp.asarray(1500, jnp.int32))
+
+    def second(st):
+        st2, w2, n2, _ = _remove_lost_once(
+            st, params, config, (1500 - rows1).astype(jnp.int32))
+        return st2, w2, n2
+
+    def skip(st):
+        return st, jnp.zeros((), bool), jnp.zeros((), jnp.int32)
+
+    state, warn2, n_over2 = lax.cond(n_over1 > 0, second, skip, state)
+    return state, warn1 | warn2, n_over2
+
+
+def _remove_lost_once(state: FilterState, params: MsckfParams, config: Config,
+                      row_cap):
     cap = config.capacity
     table = state.features
     cams = state.cams
@@ -265,7 +287,7 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
     include = proc & gate_ok
     rows_inc = jnp.where(include, rows_f, 0)
     prefix = jnp.cumsum(rows_inc) - rows_inc
-    include = include & (prefix <= 1500)  # order-dependent cap (ref :667)
+    include = include & (prefix <= row_cap)  # order-dependent cap (ref :667)
     rows_inc = jnp.where(include, rows_f, 0)
     rows_total = jnp.sum(rows_inc)
 
@@ -294,10 +316,13 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
 
     state, warn = lax.cond(any_update, do_update, no_update, state)
 
-    # delete: all <3-obs lost features AND every candidate (processed or not,
-    # selected or overflowed) — reference deletes all of them this frame.
+    # delete: all <3-obs lost features AND the selected candidates.  When
+    # there is NO overflow this equals "every candidate" (the reference
+    # deletes all of them this frame); overflow candidates survive for the
+    # caller's second pass, which deletes whatever remains.
     table = state.features
-    remove = drop_short | cand
+    selected = jnp.zeros_like(cand).at[sel].set(sel_mask, mode="drop")
+    remove = drop_short | selected | jnp.where(n_overflow > 0, False, cand)
     table = table._replace(
         valid=table.valid & ~remove,
         fid=jnp.where(remove, -1, table.fid),
@@ -305,7 +330,7 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
         obs_mask=table.obs_mask & ~remove[:, None],
         initialized=table.initialized & ~remove,
     )
-    return state._replace(features=table), warn, n_overflow
+    return state._replace(features=table), warn, n_overflow, rows_total
 
 
 # ---------------------------------------------------------------------------
@@ -357,10 +382,12 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
         two = table.valid & (k_inv == 2)
 
         # map-order selection of up to Kp involved features (the reference
-        # processes all of them; overflow beyond the static cap is counted
-        # by the caller via the row buffer, and their observations are still
-        # deleted below, matching the reference's cleanup)
+        # processes all of them; Kp >= max_features so overflow requires
+        # features surviving multiple prune cycles — if it ever happens the
+        # warn flag below makes it visible instead of silent)
         Kp = min(cap.max_prune_feats, M)
+        n_two = jnp.sum(two.astype(jnp.int32))
+        prune_overflow = n_two > Kp
         order_sel = jnp.argsort(jnp.where(two, table.seq, INT32_MAX))
         sel = order_sel[:Kp]
         sel_two = two[sel]
@@ -460,6 +487,7 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
             lambda s: (s, jnp.zeros((), bool)),
             state,
         )
+        warn = warn | prune_overflow
 
         # delete involved observations for every feature (reference deletes
         # them whether or not the update used them)

@@ -22,6 +22,12 @@ TPU-native re-design notes
   approximation — while letting us stack compact per-feature blocks at
   static offsets, at the cost of three rank-1 updates instead of an (4N,4N)
   factorization.
+* Rank-deficient edge case: the three reflections always drop the first 3
+  rows.  When ``H_f`` has rank < 3 (degenerate feature geometry — all
+  observation rays nearly parallel) the reference's SVD nullspace keeps
+  ``4N - rank`` rows, i.e. up to 2 more than ours; we discard those extra
+  rows, which loses a sliver of information but never corrupts the update
+  (conservative).  This is a deliberate, documented deviation.
 * ``measurement_update`` always runs the thin-QR path: for true row count
   m <= state dim this is provably identical to the reference's no-QR branch
   (S, K, and the posterior are invariant under H = QR factorization).  The

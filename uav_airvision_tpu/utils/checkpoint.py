@@ -2,8 +2,10 @@
 section 5: its only artifact is the append-only trajectory file).
 
 The whole filter + front-end state is one pytree, so snapshot/restore is a
-single orbax save/load.  ``run_sequence_checkpointed`` (models/vio.py users)
-can snapshot every N frames and resume mid-sequence after a failure.
+single orbax save/load.  ``models.vio.run_sequence_checkpointed`` snapshots
+every N frames and resumes mid-sequence after a failure (kill/resume is
+bit-identical to an uninterrupted run); the CLI exposes it as
+``--checkpoint-dir`` / ``--checkpoint-every``.
 """
 
 from __future__ import annotations

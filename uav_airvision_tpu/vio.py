@@ -108,6 +108,10 @@ class VIO:
             if window else np.zeros(3)
         )
         self.fe_ptr_t = hi
+        # NOTE: unlike compat.ImageProcessor, this buffer IS truncated every
+        # frame by _backend_imu_slice once the filter starts, so no extra
+        # truncation here (and trimming earlier would race the 200-message
+        # gravity-init read in _process_imu).
         return mean, curr_t - self.prev_img_t
 
     def _backend_imu_slice(self, frame_t):
