@@ -77,27 +77,46 @@ if __name__ == "__main__":
 
     scan_time(fast_body, img0.astype(jnp.float32), reps, "FAST+NMS")
 
+    from uav_airvision_tpu.ops import extract as ex
+
     pyr_f = jax.jit(lambda im: tuple(pyramid.build_pyramid_padded(im, 3)))
-    pyrA = jax.block_until_ready(pyr_f(img0))
-    pyrB = jax.block_until_ready(pyr_f(img1))
+    band_f = jax.jit(lambda pyr: tuple(ex.band_image(p) for p in pyr))
+    pyrA_raw = jax.block_until_ready(pyr_f(img0))
+    pyrB_raw = jax.block_until_ready(pyr_f(img1))
+    pyrA = jax.block_until_ready(band_f(pyrA_raw))
+    pyrB = jax.block_until_ready(band_f(pyrB_raw))
     F = cap.max_features
     pts0 = jnp.asarray(rng.uniform([20, 20], [730, 460], (F, 2)), jnp.float32)
     valid = jnp.ones(F, bool)
 
+    def band_body(c):
+        b = tuple(ex.band_image(p) for p in pyramid.build_pyramid_padded(c, 3))
+        return c + b[0].bands[0, 0] * 1e-9 + b[3].bands[0, 0] * 1e-9
+
+    scan_time(band_body, img0.astype(jnp.float32), reps, "pyramid+band (1 cam)")
+
+    def extract_body(c):
+        w, ry, rx = ex.extract(pyrA[0], c, c + 7, 48)
+        return jnp.clip(c + jnp.sum(w, axis=(1, 2)).astype(jnp.int32) % 5 - 2,
+                        0, 400)
+
+    scan_time(extract_body, jnp.ones((F,), jnp.int32), reps,
+              f"banded extract ({F} wins)")
+
     def lk_body(c):
-        pts, _ = lk.pyramidal_lk(pyrA, pyrB, c, c, valid)
+        pts, _ = lk.pyramidal_lk_banded(pyrA, pyrB, c, c, valid)
         return jnp.clip(pts, 20.0, 460.0)
 
     scan_time(lk_body, pts0, reps, f"LK ({F} pts)")
 
     def lk0_body(c):
-        pts, _ = lk.pyramidal_lk(pyrA, pyrB, c, c, valid, max_iter=0)
+        pts, _ = lk.pyramidal_lk_banded(pyrA, pyrB, c, c, valid, max_iter=0)
         return jnp.clip(pts + 0.01, 20.0, 460.0)
 
     scan_time(lk0_body, pts0, reps, f"LK ({F} pts, 0 iters)")
 
     def lk5_body(c):
-        pts, _ = lk.pyramidal_lk(pyrA, pyrB, c, c, valid, max_iter=5)
+        pts, _ = lk.pyramidal_lk_banded(pyrA, pyrB, c, c, valid, max_iter=5)
         return jnp.clip(pts, 20.0, 460.0)
 
     scan_time(lk5_body, pts0, reps, f"LK ({F} pts, 5 iters)")
@@ -110,6 +129,29 @@ if __name__ == "__main__":
         return jnp.clip(p1, 20.0, 460.0)
 
     scan_time(stereo_body, pts2, reps, f"stereo_match ({B2} pts)")
+
+    # ---- frontend misc stages ----
+    def det_body(c):
+        pts, vals, arr, vmask = _detection_candidates(c, None, cfg, 5)
+        return c + jnp.sum(pts) * 1e-12
+
+    scan_time(det_body, img0.astype(jnp.float32), reps, "detect candidates")
+
+    def mask_body(c):
+        m = _detection_mask((H, W), c, jnp.ones(c.shape[0], bool))
+        return c + jnp.sum(m.astype(jnp.float32)) * 1e-9
+
+    scan_time(mask_body, pts0, reps, "detection mask")
+
+    from uav_airvision_tpu.models.frontend.pipeline import _normalize_publish
+
+    def pub_body(c):
+        ids, uv, m = _normalize_publish(
+            jnp.arange(F, dtype=jnp.int32), jnp.ones(F, jnp.int32), c, c,
+            jnp.ones(F, bool), fparams, cfg)
+        return jnp.clip(c + uv[:, :2] * 1e-9, 20.0, 460.0)
+
+    scan_time(pub_body, pts0, reps, "normalize+publish")
 
     # ---- full frontend ----
     fe0 = init_frontend_state(cfg)

@@ -155,3 +155,49 @@ def test_equidistant_roundtrip():
     und = camera.undistort_points(jnp.asarray(pp), intr, "equidistant", coeffs)
     back = camera.distort_points(und, intr, "equidistant", coeffs)
     np.testing.assert_allclose(np.asarray(back), pp, atol=1e-3)
+
+
+def test_banded_extract_exact():
+    """ops/extract.py banded windows must reproduce dynamic_slice bit-exactly,
+    including corners clamped at the image edges."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from uav_airvision_tpu.ops import extract as ex
+
+    rng = np.random.default_rng(3)
+    for (h, w) in [(514, 786), (94, 128)]:
+        img = jnp.asarray(rng.normal(0, 1, (h, w)).astype(np.float32))
+        b = ex.band_image(img)
+        need = 48
+        oy = jnp.asarray(
+            np.concatenate([[0, h - need, h - need - 1], rng.integers(0, h - need, 29)]),
+            jnp.int32)
+        ox = jnp.asarray(
+            np.concatenate([[0, w - need, 1], rng.integers(0, w - need, 29)]),
+            jnp.int32)
+        wins, ry, rx = jax.jit(lambda o, x: ex.extract(b, o, x, need))(oy, ox)
+        got = jax.vmap(lambda W, y, x: lax.dynamic_slice(W, (y, x), (need, need)))(
+            wins, ry, rx)
+        want = jax.vmap(lambda y, x: lax.dynamic_slice(img, (y, x), (need, need)))(
+            oy, ox)
+        assert bool(jnp.all(got == want))
+
+
+def test_banded_shift_extract_exact():
+    """One-hot permutation matmul shift (ops/lk.py) is bit-exact."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from uav_airvision_tpu.ops.lk import _shift_extract
+
+    rng = np.random.default_rng(4)
+    F, n, bw = 37, 18, 64
+    w64 = jnp.asarray(rng.normal(0, 1, (F, bw, bw)).astype(np.float32))
+    ry = jnp.asarray(rng.integers(0, bw - n, F), jnp.int32)
+    rx = jnp.asarray(rng.integers(0, bw - n, F), jnp.int32)
+    got = jax.jit(lambda a, b, c: _shift_extract(a, b, c, n))(w64, ry, rx)
+    want = jax.vmap(lambda W, y, x: lax.dynamic_slice(W, (y, x), (n, n)))(w64, ry, rx)
+    assert bool(jnp.all(got == want))

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ...config import Config
-from ...ops import camera, fast, gridops, lk, pyramid
+from ...ops import camera, extract, fast, gridops, lk, pyramid
 from .params import FrontendParams
 from .stereo import stereo_match
 
@@ -49,7 +49,7 @@ class FrontendState(NamedTuple):
     cam1: jnp.ndarray  # (F,2)
     valid: jnp.ndarray  # (F,)
     next_id: jnp.ndarray  # () int32
-    prev_pyr: Tuple  # (img, ...) previous cam0 pyramid, padded, level 0 first
+    prev_pyr: Tuple  # (BandedImage, ...) previous cam0 pyramid, level 0 first
     initialized: jnp.ndarray  # () bool
 
 
@@ -71,8 +71,8 @@ def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
     pyr = []
     hh, ww = h, w
     for _ in range(levels + 1):
-        pyr.append(jnp.zeros((hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD),
-                             jnp.float32))
+        pyr.append(extract.zeros_like_banded(
+            hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD, jnp.float32))
         # pyr_down decimates [::2] -> ceil(n/2); must match for odd sizes
         hh, ww = (hh + 1) // 2, (ww + 1) // 2
     return FrontendState(
@@ -218,8 +218,18 @@ def frontend_step(
     n_cells = fe.grid_num
     H, W = cam0_img.shape
 
-    pyr0 = tuple(pyramid.build_pyramid_padded(cam0_img, fe.pyramid_levels))
-    pyr1 = tuple(pyramid.build_pyramid_padded(cam1_img, fe.pyramid_levels))
+    # Build both pyramids, then band every level once (ops/extract.py): all
+    # LK passes this frame — temporal, stereo fwd/bwd, for tracked features
+    # and adder candidates alike — extract their windows from these shared
+    # block tilings with one F-row gather each.
+    pyr0 = tuple(
+        extract.band_image(p)
+        for p in pyramid.build_pyramid_padded(cam0_img, fe.pyramid_levels)
+    )
+    pyr1 = tuple(
+        extract.band_image(p)
+        for p in pyramid.build_pyramid_padded(cam1_img, fe.pyramid_levels)
+    )
 
     CAND_INIT = 8  # per-cell candidates on the first frame (see docstring)
     CAND_ADD = fe.grid_max_feature_num
@@ -268,7 +278,7 @@ def frontend_step(
 
         pred = camera.homography_warp_points(prev_pts, cam0_R_p_c,
                                              params.cam0_intrinsics)
-        curr, st = lk.pyramidal_lk(
+        curr, st = lk.pyramidal_lk_banded(
             state.prev_pyr, pyr0, prev_pts, pred, prev_valid,
             win=fe.patch_size, max_iter=fe.lk_max_iteration,
             eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,

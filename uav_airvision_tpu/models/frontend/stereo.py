@@ -28,7 +28,7 @@ from .params import FrontendParams
 
 
 def stereo_match(
-    pyr0, pyr1,  # pyramids with derivs [(img, ix, iy)]
+    bp0, bp1,  # banded pyramids [ops.extract.BandedImage], level 0 first
     cam0_pts, valid,  # (B,2), (B,)
     params: FrontendParams,
     config: Config,
@@ -37,8 +37,8 @@ def stereo_match(
     fe = config.frontend
     # logical image size: pyramid level 0 carries LK_PAD of border padding
     # (the reference culls at the true image bounds, stereo_matcher.py:82-88)
-    h = pyr0[0].shape[0] - 2 * LK_PAD
-    w = pyr0[0].shape[1] - 2 * LK_PAD
+    h = bp0[0].h - 2 * LK_PAD
+    w = bp0[0].w - 2 * LK_PAD
 
     R0to1 = params.R_cam1_imu.T @ params.R_cam0_imu
 
@@ -51,8 +51,8 @@ def stereo_match(
         params.cam0_coeffs,
     )
 
-    p1, st_fwd = lk.pyramidal_lk(
-        pyr0, pyr1, cam0_pts, proj1, valid,
+    p1, st_fwd = lk.pyramidal_lk_banded(
+        bp0, bp1, cam0_pts, proj1, valid,
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
     )
@@ -62,8 +62,8 @@ def stereo_match(
     # points clear the 3 px gate (config.frontend.stereo_full_backward
     # restores the reference's full-pyramid backward).
     n_bwd = None if fe.stereo_full_backward else 1
-    p0r, _ = lk.pyramidal_lk(
-        pyr1[:n_bwd], pyr0[:n_bwd], p1, cam0_pts, valid,
+    p0r, _ = lk.pyramidal_lk_banded(
+        bp1[:n_bwd], bp0[:n_bwd], p1, cam0_pts, valid,
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
     )

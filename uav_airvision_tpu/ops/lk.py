@@ -15,30 +15,35 @@ with per-feature convergence masks.  Semantics follow OpenCV's LKTrackerInvoker:
 * OPTFLOW_USE_INITIAL_FLOW: the caller provides the starting guess.
 
 TPU mapping (the reference's hot loop, redesigned rather than translated):
-each feature gets a small search *window* gathered from HBM once per level;
-the 30 Gauss-Newton iterations then run entirely on-chip, with the bilinear
-patch interpolation expressed as two small matrix products per feature
-(separable bilinear weights) so the inner loop is pure MXU/VPU work with no
-gathers.  The parallel axis is the feature batch.
+every image is pre-tiled once per frame into overlapping 64x64 blocks at
+16-px stride (ops/extract.py), in which ANY feature window is one contiguous
+row — so each level's template and search-window acquisition is a single
+F-row gather (~8 us marginal) instead of F*rows DMA descriptors (the
+measured ~0.1 us/row gather floor that dominated round 1).  The Gauss-Newton
+iterations then run entirely on-chip: bilinear patch interpolation is two
+small matrix products per feature (separable bilinear weights), pure
+MXU/VPU work with no gathers.  The parallel axis is the feature batch.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .extract import BandedImage, band_image, extract
 from .pyramid import LK_PAD
 
 # Search-window margin around the initial guess, in pixels per pyramid level.
 # The Gauss-Newton refinement at one level rarely moves a point more than a
 # few pixels (coarser levels have already absorbed the large motion); points
 # that try to leave the window are frozen at the boundary, which mirrors
-# OpenCV's behavior of losing such tracks at level 0 anyway.
-LK_MARGIN = 8
+# OpenCV's behavior of losing such tracks at level 0 anyway.  Because the
+# 64-block snap adds up to one stride of slack, the effective margin is
+# 16..31 px depending on the corner's phase.
+LK_MARGIN = 16
 
 
 _SCHARR_SMOOTH = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
@@ -50,45 +55,34 @@ _SCHARR_DIFF = (-1.0, 0.0, 1.0)
 DERIV_ZERO_OUTSIDE = True
 
 
-def _gather_all_templates(prev_levels, prev_pts, win):
-    """Gather every level's (win+3)^2 template window in ONE sliced-gather op.
+def _shift_extract(w64, ry, rx, n):
+    """Per-feature integer shift: w64[f, ry[f]:ry[f]+n, rx[f]:rx[f]+n] as two
+    one-hot permutation matmuls.  Bit-exact at HIGHEST precision (verified on
+    v5e: 1.0*x plus exact zeros), and ~100x cheaper than the F*n-row gather
+    a vmapped dynamic_slice would emit."""
+    bw = w64.shape[-1]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    ab = jnp.arange(bw, dtype=jnp.int32)
+    Pr = (ry[:, None, None] + ar[None, :, None] == ab[None, None, :]).astype(w64.dtype)
+    Pc = (rx[:, None, None] + ar[None, :, None] == ab[None, None, :]).astype(w64.dtype)
+    t = lax.dot_general(
+        Pr, w64, (((2,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST, preferred_element_type=w64.dtype,
+    )
+    return lax.dot_general(
+        t, Pc, (((2,), (2,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST, preferred_element_type=w64.dtype,
+    )
 
-    All template corners are known before the coarse-to-fine loop starts
-    (unlike search windows, whose origins depend on the previous level's
-    result), so the per-level pyramid images are laid side-by-side in an
-    atlas and all n_levels * F windows come out of a single gather — slice
-    count, not bytes, is what the TPU gather costs.
 
-    Returns per-level lists of raw windows (F, n, n) and corners (F, 2).
-    """
-    n = win + 3
-    n_levels = len(prev_levels)
-    F = prev_pts.shape[0]
-    dtype = prev_levels[0].dtype
-    H0, _ = prev_levels[0].shape
-    widths = [img.shape[1] for img in prev_levels]
-    xoff = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
-    atlas = jnp.zeros((H0, int(np.sum(widths))), dtype)
-    for L, img in enumerate(prev_levels):
-        atlas = lax.dynamic_update_slice(atlas, img, (0, int(xoff[L])))
-
-    half = (win - 1) * 0.5
-    corners = []
-    oy_all = []
-    ox_all = []
-    for L, img in enumerate(prev_levels):
-        HP, WP = img.shape
-        c = prev_pts * (1.0 / (1 << L)) - half + LK_PAD  # (F,2) padded coords
-        corners.append(c)
-        fy = jnp.clip(jnp.floor(c[:, 1]).astype(jnp.int32) - 1, 0, HP - n)
-        fx = jnp.clip(jnp.floor(c[:, 0]).astype(jnp.int32) - 1, 0, WP - n)
-        oy_all.append(fy)
-        ox_all.append(fx + xoff[L])
-    oy = jnp.concatenate(oy_all)
-    ox = jnp.concatenate(ox_all)
-    raw = jax.vmap(lambda y, x: lax.dynamic_slice(atlas, (y, x), (n, n)))(oy, ox)
-    raws = [raw[L * F : (L + 1) * F] for L in range(n_levels)]
-    return raws, corners
+def _extract_raw_templates(band: BandedImage, corner, n):
+    """(F, n, n) raw template windows whose integer origin is
+    clip(floor(corner) - 1, 0, dim - n) — the alignment _patches_from_raw
+    assumes.  One F-row gather + one exact on-chip shift."""
+    fy = jnp.clip(jnp.floor(corner[:, 1]).astype(jnp.int32) - 1, 0, band.h - n)
+    fx = jnp.clip(jnp.floor(corner[:, 0]).astype(jnp.int32) - 1, 0, band.w - n)
+    w64, ry, rx = extract(band, fy, fx, n)
+    return _shift_extract(w64, ry, rx, n)
 
 
 def _patches_from_raw(raw, corner_xy, img_shape, win):
@@ -148,19 +142,20 @@ def _bilinear_axis_weights(frac_pos, n_out, n_in, dtype):
 
 
 def _track_level(
-    raw_templates, corner_prev, img_shape, curr_img,
+    raw_templates, corner_prev, img_shape, curr_band: BandedImage,
     prev_pts_l, next_pts_l, valid,
     win, max_iter, eps2, min_eig_thresh, is_level0,
 ):
     """One pyramid level for all features.  Points are in level coordinates.
     Returns (next_pts_l, status_ok_level0)."""
-    dtype = curr_img.dtype
+    dtype = curr_band.bands.dtype
     half = (win - 1) * 0.5
     # arrays are padded by LK_PAD on each side (ops/pyramid.py); logical size:
     HP, WP = img_shape
     H = HP - 2 * LK_PAD
     W = WP - 2 * LK_PAD
-    WIN = win + 1 + 2 * LK_MARGIN  # search-window side
+    BW = curr_band.bw
+    need = win + 1 + 2 * LK_MARGIN  # guaranteed-covered search span
 
     patch_I, patch_ix, patch_iy = jax.vmap(
         lambda r, c: _patches_from_raw(r, c, img_shape, win)
@@ -187,16 +182,20 @@ def _track_level(
 
     inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
 
-    # One search window per feature from the current image, gathered once;
-    # the iteration loop below never touches HBM again.
+    # One search window per feature, one F-row gather from the pre-banded
+    # image; the iteration loop below never touches HBM again.
     corner0 = next_pts_l - half + LK_PAD  # (F,2) initial window corner
-    oy = jnp.clip(jnp.floor(corner0[:, 1]).astype(jnp.int32) - LK_MARGIN, 0, HP - WIN)
-    ox = jnp.clip(jnp.floor(corner0[:, 0]).astype(jnp.int32) - LK_MARGIN, 0, WP - WIN)
-    windows = jax.vmap(
-        lambda y, x: lax.dynamic_slice(curr_img, (y, x), (WIN, WIN))
-    )(oy, ox)  # (F, WIN, WIN)
+    des_y = jnp.clip(
+        jnp.floor(corner0[:, 1]).astype(jnp.int32) - LK_MARGIN, 0, HP - need
+    )
+    des_x = jnp.clip(
+        jnp.floor(corner0[:, 0]).astype(jnp.int32) - LK_MARGIN, 0, WP - need
+    )
+    windows, ry, rx = extract(curr_band, des_y, des_x, need)  # (F, BW, BW)
+    oy = des_y - ry  # 64-block origin (absolute padded coords)
+    ox = des_x - rx
 
-    max_t = WIN - (win + 1)
+    max_t = BW - (win + 1)
 
     def sample_J(pts):
         """Bilinear 15x15 patches at fractional corners via two batched
@@ -204,12 +203,12 @@ def _track_level(
         corner = pts - half + LK_PAD
         py = jnp.clip(corner[:, 1] - oy.astype(dtype), 0.0, float(max_t))
         px = jnp.clip(corner[:, 0] - ox.astype(dtype), 0.0, float(max_t))
-        Wr = jax.vmap(lambda p: _bilinear_axis_weights(p, win, WIN, dtype))(py)
-        Wc = jax.vmap(lambda p: _bilinear_axis_weights(p, win, WIN, dtype))(px)
+        Wr = jax.vmap(lambda p: _bilinear_axis_weights(p, win, BW, dtype))(py)
+        Wc = jax.vmap(lambda p: _bilinear_axis_weights(p, win, BW, dtype))(px)
         T1 = jax.lax.dot_general(
             Wr, windows, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=dtype,
-        )  # (F, win, WIN)
+        )  # (F, win, BW)
         J = jax.lax.dot_general(
             T1, Wc, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=dtype,
@@ -283,9 +282,9 @@ def _track_level(
     return pts, status
 
 
-def pyramidal_lk(
-    prev_levels: Sequence[jnp.ndarray],  # padded images, level 0 first
-    curr_levels: Sequence[jnp.ndarray],
+def pyramidal_lk_banded(
+    prev_bands: Sequence[BandedImage],  # banded padded images, level 0 first
+    curr_bands: Sequence[BandedImage],
     prev_pts: jnp.ndarray,  # (F,2) full-res pixel coords
     init_next_pts: jnp.ndarray,  # (F,2) initial guess (USE_INITIAL_FLOW)
     valid: jnp.ndarray,  # (F,) bool
@@ -294,16 +293,20 @@ def pyramidal_lk(
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
 ):
-    """Track prev_pts into the current pyramid.  Returns (next_pts, status)."""
+    """Track prev_pts into the current (banded) pyramid.
+    Returns (next_pts, status)."""
     eps2 = eps * eps
-    n_levels = len(prev_levels)
+    n_levels = len(prev_bands)
+    n = win + 3
+    half = (win - 1) * 0.5
     next_pts = init_next_pts
     status = valid
-    raws, corners = _gather_all_templates(prev_levels, prev_pts, win)
     for L in reversed(range(n_levels)):
         scale = 1.0 / (1 << L)
+        corner = prev_pts * scale - half + LK_PAD
+        raw = _extract_raw_templates(prev_bands[L], corner, n)
         pts_l, st = _track_level(
-            raws[L], corners[L], prev_levels[L].shape, curr_levels[L],
+            raw, corner, (prev_bands[L].h, prev_bands[L].w), curr_bands[L],
             prev_pts * scale, next_pts * scale, valid,
             win, max_iter, eps2, min_eig_threshold, is_level0=(L == 0),
         )
@@ -311,3 +314,25 @@ def pyramidal_lk(
         if L == 0:
             status = st
     return next_pts, status
+
+
+def pyramidal_lk(
+    prev_levels: Sequence[jnp.ndarray],  # padded images, level 0 first
+    curr_levels: Sequence[jnp.ndarray],
+    prev_pts: jnp.ndarray,
+    init_next_pts: jnp.ndarray,
+    valid: jnp.ndarray,
+    win: int = 15,
+    max_iter: int = 30,
+    eps: float = 0.01,
+    min_eig_threshold: float = 1e-4,
+):
+    """Raw-pyramid convenience wrapper: bands both pyramids, then tracks.
+    Callers that reuse images across LK passes should band once and call
+    ``pyramidal_lk_banded`` (models/frontend/pipeline.py does)."""
+    prev_bands = [band_image(p) for p in prev_levels]
+    curr_bands = [band_image(p) for p in curr_levels]
+    return pyramidal_lk_banded(
+        prev_bands, curr_bands, prev_pts, init_next_pts, valid,
+        win, max_iter, eps, min_eig_threshold,
+    )
