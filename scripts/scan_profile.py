@@ -80,7 +80,7 @@ if __name__ == "__main__":
     from uav_airvision_tpu.ops import extract as ex
 
     pyr_f = jax.jit(lambda im: tuple(pyramid.build_pyramid_padded(im, 3)))
-    band_f = jax.jit(lambda pyr: tuple(ex.band_image(p) for p in pyr))
+    band_f = jax.jit(lambda pyr: ex.band_pyramid(pyr))
     pyrA_raw = jax.block_until_ready(pyr_f(img0))
     pyrB_raw = jax.block_until_ready(pyr_f(img1))
     pyrA = jax.block_until_ready(band_f(pyrA_raw))
@@ -90,13 +90,13 @@ if __name__ == "__main__":
     valid = jnp.ones(F, bool)
 
     def band_body(c):
-        b = tuple(ex.band_image(p) for p in pyramid.build_pyramid_padded(c, 3))
-        return c + b[0].bands[0, 0] * 1e-9 + b[3].bands[0, 0] * 1e-9
+        b = ex.band_pyramid(pyramid.build_pyramid_padded(c, 3))
+        return c + jnp.sum(b.bands.reshape(-1)[::997]) * 1e-12
 
     scan_time(band_body, img0.astype(jnp.float32), reps, "pyramid+band (1 cam)")
 
     def extract_body(c):
-        w, ry, rx = ex.extract(pyrA[0], c, c + 7, 48)
+        w, ry, rx = ex.extract_pyr(pyrA, 0, c, c + 7, 48)
         return jnp.clip(c + jnp.sum(w, axis=(1, 2)).astype(jnp.int32) % 5 - 2,
                         0, 400)
 

@@ -68,13 +68,13 @@ def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
     F = config.capacity.max_features
     w, h = config.calib.cam0_resolution
     levels = config.frontend.pyramid_levels
-    pyr = []
+    shapes = []
     hh, ww = h, w
     for _ in range(levels + 1):
-        pyr.append(extract.zeros_like_banded(
-            hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD, jnp.float32))
+        shapes.append((hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD))
         # pyr_down decimates [::2] -> ceil(n/2); must match for odd sizes
         hh, ww = (hh + 1) // 2, (ww + 1) // 2
+    pyr = extract.zeros_like_banded_pyramid(shapes, jnp.float32)
     return FrontendState(
         ids=jnp.full((F,), -1, jnp.int32),
         lifetime=jnp.zeros((F,), jnp.int32),
@@ -82,7 +82,7 @@ def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
         cam1=jnp.zeros((F, 2), dtype),
         valid=jnp.zeros((F,), bool),
         next_id=jnp.zeros((), jnp.int32),
-        prev_pyr=tuple(pyr),
+        prev_pyr=pyr,
         initialized=jnp.zeros((), bool),
     )
 
@@ -159,15 +159,12 @@ def _detection_mask(img_shape, pts, valid):
     ix = jnp.where(ok, ix, W)  # out-of-range -> dropped
     iy = jnp.where(ok, iy, H)
     pm = jnp.zeros((H, W), bool).at[iy, ix].set(True, mode="drop")
-    # 7x7 dilation, separable
-    d = pm
-    for axis, n in ((0, H), (1, W)):
-        acc = d
-        for s in range(1, 4):
-            acc = acc | jnp.roll(d, s, axis=axis) | jnp.roll(d, -s, axis=axis)
-        d = acc
-    # jnp.roll wraps; border effects are confined to 3px bands which FAST
-    # ignores anyway
+    # 7x7 box dilation as one windowed OR-reduction (edge-clipped, exactly
+    # the reference's numpy box mask semantics — the previous roll-based
+    # dilation wrapped at borders)
+    d = lax.reduce_window(
+        pm, False, lax.bitwise_or, (7, 7), (1, 1), "SAME"
+    )
     return ~d
 
 
@@ -222,14 +219,10 @@ def frontend_step(
     # LK passes this frame — temporal, stereo fwd/bwd, for tracked features
     # and adder candidates alike — extract their windows from these shared
     # block tilings with one F-row gather each.
-    pyr0 = tuple(
-        extract.band_image(p)
-        for p in pyramid.build_pyramid_padded(cam0_img, fe.pyramid_levels)
-    )
-    pyr1 = tuple(
-        extract.band_image(p)
-        for p in pyramid.build_pyramid_padded(cam1_img, fe.pyramid_levels)
-    )
+    pyr0 = extract.band_pyramid(
+        pyramid.build_pyramid_padded(cam0_img, fe.pyramid_levels))
+    pyr1 = extract.band_pyramid(
+        pyramid.build_pyramid_padded(cam1_img, fe.pyramid_levels))
 
     CAND_INIT = 8  # per-cell candidates on the first frame (see docstring)
     CAND_ADD = fe.grid_max_feature_num

@@ -28,7 +28,7 @@ from .params import FrontendParams
 
 
 def stereo_match(
-    bp0, bp1,  # banded pyramids [ops.extract.BandedImage], level 0 first
+    bp0, bp1,  # ops.extract.BandedPyramid per camera
     cam0_pts, valid,  # (B,2), (B,)
     params: FrontendParams,
     config: Config,
@@ -37,8 +37,8 @@ def stereo_match(
     fe = config.frontend
     # logical image size: pyramid level 0 carries LK_PAD of border padding
     # (the reference culls at the true image bounds, stereo_matcher.py:82-88)
-    h = bp0[0].h - 2 * LK_PAD
-    w = bp0[0].w - 2 * LK_PAD
+    h = bp0.levels[0][0] - 2 * LK_PAD
+    w = bp0.levels[0][1] - 2 * LK_PAD
 
     R0to1 = params.R_cam1_imu.T @ params.R_cam0_imu
 
@@ -63,9 +63,10 @@ def stereo_match(
     # restores the reference's full-pyramid backward).
     n_bwd = None if fe.stereo_full_backward else 1
     p0r, _ = lk.pyramidal_lk_banded(
-        bp1[:n_bwd], bp0[:n_bwd], p1, cam0_pts, valid,
+        bp1, bp0, p1, cam0_pts, valid,
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
+        n_levels=n_bwd,
     )
 
     err = jnp.linalg.norm(cam0_pts - p0r, axis=-1)

@@ -102,6 +102,73 @@ def zeros_like_banded(h, w, dtype=jnp.float32,
     return BandedImage(jnp.zeros((nbr * nbc, bw * bw), dtype), h, w, stride, bw)
 
 
+@jax.tree_util.register_pytree_node_class
+class BandedPyramid:
+    """All pyramid levels' block tilings concatenated into ONE (sum_NB,
+    bw*bw) array, so a multi-level window request (e.g. every LK level's
+    templates) is still a single gather.  ``levels`` holds per-level
+    (h, w, nbr, nbc, offset) with offset = first block row of that level."""
+
+    def __init__(self, bands, levels, stride=BAND_STRIDE, bw=BAND_BW):
+        self.bands = bands
+        self.levels = tuple(tuple(l) for l in levels)
+        self.stride = int(stride)
+        self.bw = int(bw)
+        self.n_levels = len(self.levels)
+
+    def tree_flatten(self):
+        return (self.bands,), (self.levels, self.stride, self.bw)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, stride, bw = aux
+        return cls(children[0], levels, stride, bw)
+
+
+def band_pyramid(level_imgs, stride=BAND_STRIDE, bw=BAND_BW) -> BandedPyramid:
+    """Band every pyramid level and concatenate the block arrays."""
+    parts = []
+    levels = []
+    off = 0
+    for img in level_imgs:
+        b = band_image(img, stride, bw)
+        parts.append(b.bands)
+        levels.append((b.h, b.w, b.nbr, b.nbc, off))
+        off += b.nbr * b.nbc
+    return BandedPyramid(jnp.concatenate(parts, axis=0), levels, stride, bw)
+
+
+def zeros_like_banded_pyramid(shapes, dtype=jnp.float32,
+                              stride=BAND_STRIDE, bw=BAND_BW) -> BandedPyramid:
+    """shapes: [(h, w)] per level."""
+    levels = []
+    off = 0
+    for h, w in shapes:
+        nbr = _n_bands(h, stride, bw)
+        nbc = _n_bands(w, stride, bw)
+        levels.append((h, w, nbr, nbc, off))
+        off += nbr * nbc
+    return BandedPyramid(jnp.zeros((off, bw * bw), dtype), levels, stride, bw)
+
+
+def block_of(bp: BandedPyramid, level: int, oy, ox, need: int):
+    """(block_row_index, ry, rx) for level-local corners; the actual window
+    is bp.bands[index].reshape(bw, bw)[ry:ry+need, rx:rx+need]."""
+    h, w, nbr, nbc, off = bp.levels[level]
+    assert need + bp.stride <= bp.bw, (need, bp.stride, bp.bw)
+    oy = jnp.clip(oy, 0, h - need)
+    ox = jnp.clip(ox, 0, w - need)
+    bi = jnp.minimum(oy // bp.stride, nbr - 1)
+    bj = jnp.minimum(ox // bp.stride, nbc - 1)
+    return off + bi * nbc + bj, oy - bi * bp.stride, ox - bj * bp.stride
+
+
+def extract_pyr(bp: BandedPyramid, level: int, oy, ox, need: int):
+    """Single-level extraction from a BandedPyramid (one F-row gather)."""
+    idx, ry, rx = block_of(bp, level, oy, ox, need)
+    return bp.bands[idx].reshape(-1, bp.bw, bp.bw), ry, rx
+
+
 def extract(b: BandedImage, oy, ox, need: int):
     """Windows containing [oy, oy+need) x [ox, ox+need) for each feature.
 

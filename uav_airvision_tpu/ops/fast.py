@@ -42,22 +42,35 @@ def fast_score_map(img, threshold: int):
 
     img: (H, W) uint8/float.  The 3-pixel border is excluded.
     """
-    f = img.astype(jnp.int32) if img.dtype == jnp.uint8 else img.astype(jnp.int32)
+    # bf16 internally: every value here is an integer in [-512, 512) (pixel
+    # differences and FAST scores), exactly representable in bf16's 8-bit
+    # mantissa — same results as int32 at half the VPU/HBM traffic.
+    f = img.astype(jnp.bfloat16)
     H, W = f.shape
 
     ring = jnp.stack([_shifted(f, int(dy), int(dx)) for dy, dx in _CIRCLE])  # (16,H,W)
     d = ring - f[None, :, :]  # x_i - p
 
-    # rolling min over 9 consecutive circle positions (wrap-around)
+    # rolling min over 9 consecutive circle positions (wrap-around), as a
+    # log-depth sliding-window min (4 elementwise passes instead of 16
+    # stacked 9-way reductions)
     d2 = jnp.concatenate([d, d[: ARC - 1]], axis=0)  # (24,H,W)
-    bright_min = jnp.stack([jnp.min(d2[s : s + ARC], axis=0) for s in range(16)])
-    dark_min = jnp.stack([jnp.min(-d2[s : s + ARC], axis=0) for s in range(16)])
+
+    def slide_min9(x):
+        m2 = jnp.minimum(x[:-1], x[1:])  # width 2
+        m4 = jnp.minimum(m2[:-2], m2[2:])  # width 4
+        m8 = jnp.minimum(m4[:-4], m4[4:])  # width 8
+        return jnp.minimum(m8[:16], x[8:])  # width 9, starts 0..15
+
+    bright_min = slide_min9(d2)
+    dark_min = slide_min9(-d2)
 
     bright_score = jnp.max(bright_min, axis=0)  # max over arc starts
     dark_score = jnp.max(dark_min, axis=0)
-    score = jnp.maximum(bright_score, dark_score) - 1  # OpenCV cornerScore
+    score = (jnp.maximum(bright_score, dark_score) - 1).astype(jnp.int32)
 
-    corner = (bright_score > threshold) | (dark_score > threshold)
+    thr = jnp.asarray(threshold, jnp.bfloat16)
+    corner = (bright_score > thr) | (dark_score > thr)
 
     border = jnp.zeros((H, W), bool).at[3 : H - 3, 3 : W - 3].set(True)
     corner = corner & border

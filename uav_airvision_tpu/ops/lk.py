@@ -16,13 +16,16 @@ with per-feature convergence masks.  Semantics follow OpenCV's LKTrackerInvoker:
 
 TPU mapping (the reference's hot loop, redesigned rather than translated):
 every image is pre-tiled once per frame into overlapping 64x64 blocks at
-16-px stride (ops/extract.py), in which ANY feature window is one contiguous
-row — so each level's template and search-window acquisition is a single
-F-row gather (~8 us marginal) instead of F*rows DMA descriptors (the
-measured ~0.1 us/row gather floor that dominated round 1).  The Gauss-Newton
-iterations then run entirely on-chip: bilinear patch interpolation is two
-small matrix products per feature (separable bilinear weights), pure
-MXU/VPU work with no gathers.  The parallel axis is the feature batch.
+16-px stride (ops/extract.py), with ALL pyramid levels' blocks concatenated
+in one array — so the whole call's template acquisition (every level, every
+feature) is ONE gather of n_levels*F rows, and each level's search windows
+are one more F-row gather, instead of F*rows DMA descriptors at the measured
+~0.1 us/row gather floor that dominated round 1.  All template processing
+(bilinear shift, Scharr gradients, the G matrices) runs level-BATCHED on the
+(n_levels*F) axis before the coarse-to-fine loop; the Gauss-Newton
+iterations then run entirely on-chip with bilinear patch interpolation as
+two small matrix products per feature.  The parallel axis is the feature
+batch — fleets of VIO instances vmap over it for near-free.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .extract import BandedImage, band_image, extract
+from .extract import BandedPyramid, band_pyramid, block_of, extract_pyr
 from .pyramid import LK_PAD
 
 # Search-window margin around the initial guess, in pixels per pyramid level.
@@ -75,24 +78,16 @@ def _shift_extract(w64, ry, rx, n):
     )
 
 
-def _extract_raw_templates(band: BandedImage, corner, n):
-    """(F, n, n) raw template windows whose integer origin is
-    clip(floor(corner) - 1, 0, dim - n) — the alignment _patches_from_raw
-    assumes.  One F-row gather + one exact on-chip shift."""
-    fy = jnp.clip(jnp.floor(corner[:, 1]).astype(jnp.int32) - 1, 0, band.h - n)
-    fx = jnp.clip(jnp.floor(corner[:, 0]).astype(jnp.int32) - 1, 0, band.w - n)
-    w64, ry, rx = extract(band, fy, fx, n)
-    return _shift_extract(w64, ry, rx, n)
-
-
-def _patches_from_raw(raw, corner_xy, img_shape, win):
+def _patches_from_raw(raw, corner_xy, hw, win):
     """(I, Ix, Iy) template patches from a pre-gathered (win+3)^2 window.
 
     4-tap bilinear blend gives a (win+2)^2 shifted window; the Scharr
     derivatives are valid 3x3 convolutions of it (cv2 computes derivatives
     on the full image and samples them bilinearly — convolution and bilinear
     shift are both LTI, so deriving after the shift is identical and avoids
-    gathering two extra derivative planes from HBM)."""
+    gathering two extra derivative planes from HBM).  ``hw`` is the (2,)
+    padded image shape of this element's level (traced, supports the
+    level-batched axis)."""
     cx, cy = corner_xy[0], corner_xy[1]
     ax = (cx - jnp.floor(cx)).astype(raw.dtype)
     ay = (cy - jnp.floor(cy)).astype(raw.dtype)
@@ -118,7 +113,7 @@ def _patches_from_raw(raw, corner_xy, img_shape, win):
     patch_ix = sep3(sm, df)
     patch_iy = sep3(df, sm)
     if DERIV_ZERO_OUTSIDE:
-        HP, WP = img_shape
+        HP, WP = hw[0].astype(raw.dtype), hw[1].astype(raw.dtype)
         ys = cy + jnp.arange(win, dtype=raw.dtype)  # patch pixel centers
         xs = cx + jnp.arange(win, dtype=raw.dtype)
         inside = (
@@ -141,46 +136,27 @@ def _bilinear_axis_weights(frac_pos, n_out, n_in, dtype):
     return jnp.where(cols == tgt, 1.0 - a, 0.0) + jnp.where(cols == tgt + 1, a, 0.0)
 
 
-def _track_level(
-    raw_templates, corner_prev, img_shape, curr_band: BandedImage,
-    prev_pts_l, next_pts_l, valid,
-    win, max_iter, eps2, min_eig_thresh, is_level0,
+def _iterate_level(
+    tmpl,  # dict of this level's template products, each (F, ...)
+    curr_bp: BandedPyramid, level: int,
+    next_pts_l, win, max_iter, eps2,
 ):
-    """One pyramid level for all features.  Points are in level coordinates.
-    Returns (next_pts_l, status_ok_level0)."""
-    dtype = curr_band.bands.dtype
+    """Gauss-Newton iterations of one pyramid level for all features.
+    Points are in level coordinates.  Returns refined points."""
+    dtype = curr_bp.bands.dtype
     half = (win - 1) * 0.5
-    # arrays are padded by LK_PAD on each side (ops/pyramid.py); logical size:
-    HP, WP = img_shape
+    HP, WP = curr_bp.levels[level][:2]
     H = HP - 2 * LK_PAD
     W = WP - 2 * LK_PAD
-    BW = curr_band.bw
+    BW = curr_bp.bw
     need = win + 1 + 2 * LK_MARGIN  # guaranteed-covered search span
 
-    patch_I, patch_ix, patch_iy = jax.vmap(
-        lambda r, c: _patches_from_raw(r, c, img_shape, win)
-    )(raw_templates, corner_prev)
-
-    a11 = jnp.sum(patch_ix * patch_ix, axis=(1, 2))
-    a12 = jnp.sum(patch_ix * patch_iy, axis=(1, 2))
-    a22 = jnp.sum(patch_iy * patch_iy, axis=(1, 2))
-    det = a11 * a22 - a12 * a12
-    min_eig = (a22 + a11 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
-        2.0 * win * win
-    )
-
-    # OpenCV's out-of-window check on the integer corner of the prev point.
-    ipx = jnp.floor(corner_prev[:, 0]) - LK_PAD
-    ipy = jnp.floor(corner_prev[:, 1]) - LK_PAD
-    in_prev = (ipx >= -win) & (ipx < W) & (ipy >= -win) & (ipy < H)
-
-    good = valid & in_prev & (det > 1e-12)
-    if is_level0:
-        status = valid & in_prev & (min_eig >= min_eig_thresh) & (det > 1e-12)
-    else:
-        status = valid
-
-    inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
+    patch_I = tmpl["I"]
+    patch_ix = tmpl["ix"]
+    patch_iy = tmpl["iy"]
+    a11, a12, a22 = tmpl["a11"], tmpl["a12"], tmpl["a22"]
+    inv_det = tmpl["inv_det"]
+    good = tmpl["good"]
 
     # One search window per feature, one F-row gather from the pre-banded
     # image; the iteration loop below never touches HBM again.
@@ -191,7 +167,7 @@ def _track_level(
     des_x = jnp.clip(
         jnp.floor(corner0[:, 0]).astype(jnp.int32) - LK_MARGIN, 0, WP - need
     )
-    windows, ry, rx = extract(curr_band, des_y, des_x, need)  # (F, BW, BW)
+    windows, ry, rx = extract_pyr(curr_bp, level, des_y, des_x, need)
     oy = des_y - ry  # 64-block origin (absolute padded coords)
     ox = des_x - rx
 
@@ -269,22 +245,12 @@ def _track_level(
         jnp.zeros((), jnp.int32),
     )
     pts, _, _, _ = lax.while_loop(cond, body, init)
-
-    if is_level0:
-        # final in-bounds gate mirrors OpenCV's per-iteration status drop
-        inb = (
-            (jnp.floor(pts[:, 0] - half) >= -win)
-            & (jnp.floor(pts[:, 0] - half) < W)
-            & (jnp.floor(pts[:, 1] - half) >= -win)
-            & (jnp.floor(pts[:, 1] - half) < H)
-        )
-        status = status & inb
-    return pts, status
+    return pts
 
 
 def pyramidal_lk_banded(
-    prev_bands: Sequence[BandedImage],  # banded padded images, level 0 first
-    curr_bands: Sequence[BandedImage],
+    prev_bp: BandedPyramid,
+    curr_bp: BandedPyramid,
     prev_pts: jnp.ndarray,  # (F,2) full-res pixel coords
     init_next_pts: jnp.ndarray,  # (F,2) initial guess (USE_INITIAL_FLOW)
     valid: jnp.ndarray,  # (F,) bool
@@ -292,28 +258,91 @@ def pyramidal_lk_banded(
     max_iter: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
+    n_levels: int | None = None,
 ):
     """Track prev_pts into the current (banded) pyramid.
     Returns (next_pts, status)."""
     eps2 = eps * eps
-    n_levels = len(prev_bands)
+    if n_levels is None:
+        n_levels = min(prev_bp.n_levels, curr_bp.n_levels)
+    F = prev_pts.shape[0]
     n = win + 3
     half = (win - 1) * 0.5
+    dtype = prev_bp.bands.dtype
+
+    # ---- template prep: ONE gather + level-batched processing -------------
+    corners, idxs, rys, rxs, hws = [], [], [], [], []
+    for L in range(n_levels):
+        c = prev_pts * (1.0 / (1 << L)) - half + LK_PAD
+        corners.append(c)
+        fy = jnp.floor(c[:, 1]).astype(jnp.int32) - 1
+        fx = jnp.floor(c[:, 0]).astype(jnp.int32) - 1
+        idx, ry, rx = block_of(prev_bp, L, fy, fx, n)
+        idxs.append(idx)
+        rys.append(ry)
+        rxs.append(rx)
+        hws.append(prev_bp.levels[L][:2])
+    c_cat = jnp.concatenate(corners)  # (LF, 2)
+    rows = prev_bp.bands[jnp.concatenate(idxs)]  # ONE gather, L*F rows
+    raw = _shift_extract(
+        rows.reshape(-1, prev_bp.bw, prev_bp.bw),
+        jnp.concatenate(rys), jnp.concatenate(rxs), n,
+    )  # (LF, n, n), exact
+    hw_cat = jnp.repeat(jnp.asarray(hws, jnp.int32), F, axis=0)  # (LF, 2)
+    patch_I, patch_ix, patch_iy = jax.vmap(
+        lambda r, c, hw: _patches_from_raw(r, c, hw, win)
+    )(raw, c_cat, hw_cat)
+
+    a11 = jnp.sum(patch_ix * patch_ix, axis=(1, 2))
+    a12 = jnp.sum(patch_ix * patch_iy, axis=(1, 2))
+    a22 = jnp.sum(patch_iy * patch_iy, axis=(1, 2))
+    det = a11 * a22 - a12 * a12
+    inv_det = jnp.where(det > 1e-12, 1.0 / det, 0.0)
+    min_eig = (a22 + a11 - jnp.sqrt((a11 - a22) ** 2 + 4.0 * a12 * a12)) / (
+        2.0 * win * win
+    )
+
+    # OpenCV's out-of-window check on the integer corner of the prev point.
+    ipx = jnp.floor(c_cat[:, 0]) - LK_PAD
+    ipy = jnp.floor(c_cat[:, 1]) - LK_PAD
+    Wl = (hw_cat[:, 1] - 2 * LK_PAD).astype(c_cat.dtype)
+    Hl = (hw_cat[:, 0] - 2 * LK_PAD).astype(c_cat.dtype)
+    in_prev = (ipx >= -win) & (ipx < Wl) & (ipy >= -win) & (ipy < Hl)
+
+    valid_cat = jnp.tile(valid, n_levels)
+    good = valid_cat & in_prev & (det > 1e-12)
+
+    tmpl_all = dict(
+        I=patch_I, ix=patch_ix, iy=patch_iy,
+        a11=a11, a12=a12, a22=a22, inv_det=inv_det, good=good,
+    )
+
+    # level-0 status gate (OpenCV drops these tracks at level 0 only)
+    status = (
+        valid & in_prev[:F] & (min_eig[:F] >= min_eig_threshold)
+        & (det[:F] > 1e-12)
+    )
+
+    # ---- coarse-to-fine refinement ---------------------------------------
     next_pts = init_next_pts
-    status = valid
     for L in reversed(range(n_levels)):
-        scale = 1.0 / (1 << L)
-        corner = prev_pts * scale - half + LK_PAD
-        raw = _extract_raw_templates(prev_bands[L], corner, n)
-        pts_l, st = _track_level(
-            raw, corner, (prev_bands[L].h, prev_bands[L].w), curr_bands[L],
-            prev_pts * scale, next_pts * scale, valid,
-            win, max_iter, eps2, min_eig_threshold, is_level0=(L == 0),
+        sl = slice(L * F, (L + 1) * F)
+        tmpl = {k: v[sl] for k, v in tmpl_all.items()}
+        pts_l = _iterate_level(
+            tmpl, curr_bp, L, next_pts * (1.0 / (1 << L)), win, max_iter, eps2,
         )
         next_pts = pts_l * (1 << L)
-        if L == 0:
-            status = st
-    return next_pts, status
+
+    # final in-bounds gate mirrors OpenCV's per-iteration status drop
+    H0 = prev_bp.levels[0][0] - 2 * LK_PAD
+    W0 = prev_bp.levels[0][1] - 2 * LK_PAD
+    inb = (
+        (jnp.floor(next_pts[:, 0] - half) >= -win)
+        & (jnp.floor(next_pts[:, 0] - half) < W0)
+        & (jnp.floor(next_pts[:, 1] - half) >= -win)
+        & (jnp.floor(next_pts[:, 1] - half) < H0)
+    )
+    return next_pts, status & inb
 
 
 def pyramidal_lk(
@@ -330,9 +359,8 @@ def pyramidal_lk(
     """Raw-pyramid convenience wrapper: bands both pyramids, then tracks.
     Callers that reuse images across LK passes should band once and call
     ``pyramidal_lk_banded`` (models/frontend/pipeline.py does)."""
-    prev_bands = [band_image(p) for p in prev_levels]
-    curr_bands = [band_image(p) for p in curr_levels]
     return pyramidal_lk_banded(
-        prev_bands, curr_bands, prev_pts, init_next_pts, valid,
+        band_pyramid(prev_levels), band_pyramid(curr_levels),
+        prev_pts, init_next_pts, valid,
         win, max_iter, eps, min_eig_threshold,
     )
