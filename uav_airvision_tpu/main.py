@@ -186,20 +186,54 @@ def run_batch(args):
         print(f"[profile] stage timings -> {path}\n{timer.dump()}")
 
 
+class _ListStream:
+    """In-memory dataset-shaped iterable for DataPublisher."""
+
+    def __init__(self, msgs, starttime=0.0):
+        self.msgs = msgs
+        self.starttime = starttime
+
+    def __iter__(self):
+        return iter(self.msgs)
+
+
+def _synthetic_streams(config, duration):
+    import numpy as np
+
+    from .simulation.world import StereoWorld
+    from .streaming.dataset import imu_msg, stereo_msg
+
+    world = StereoWorld(config)
+    ts_imu, ws, accs = world.imu_stream(duration)
+    imu_msgs = [imu_msg(t, w, a) for t, w, a in zip(ts_imu, ws, accs)]
+    fts = world.frame_times(duration)
+    rng = np.random.default_rng(5)
+    img_msgs = []
+    for t in fts:
+        i0, i1 = world.render_frame(t, rng)
+        img_msgs.append(stereo_msg(t, i0, i1, None, None))
+    return _ListStream(imu_msgs), _ListStream(img_msgs)
+
+
 def run_realtime(args):
     from queue import Queue
 
     from .config import euroc_config
-    from .streaming.dataset import EuRoCDataset
     from .streaming.publisher import DataPublisher
     from .vio import VIO
     from .utils.trajectory import TrajectoryWriter
 
     config = euroc_config()
-    dataset = EuRoCDataset(args.path)
-    dataset.set_starttime(offset=args.offset)
+    if args.synthetic:
+        imu_src, img_src = _synthetic_streams(config, args.synthetic)
+        name = "synthetic"
+    else:
+        from .streaming.dataset import EuRoCDataset
 
-    name = os.path.basename(os.path.normpath(args.path))
+        dataset = EuRoCDataset(args.path)
+        dataset.set_starttime(offset=args.offset)
+        imu_src, img_src = dataset.imu, dataset.stereo
+        name = os.path.basename(os.path.normpath(args.path))
     os.environ["DATASET_NAME"] = name
     os.environ["TIME_OFFSET"] = str(int(args.offset))
 
@@ -217,15 +251,24 @@ def run_realtime(args):
     vio = VIO(config, img_q, imu_q, viewer, trajectory_writer=writer)
     vio.start()
 
+    if args.warmup:
+        # compile the fused step before the clock starts so the paced run
+        # measures steady-state throughput, not XLA compile time
+        t0 = time.time()
+        vio.warmup()
+        print(f"[realtime] warmup compile {time.time()-t0:.1f}s")
+
     now = time.time()
     dur = getattr(args, "duration", float("inf"))
-    imu_pub = DataPublisher(dataset.imu, imu_q, duration=dur, ratio=args.ratio)
-    img_pub = DataPublisher(dataset.stereo, img_q, duration=dur, ratio=args.ratio)
+    imu_pub = DataPublisher(imu_src, imu_q, duration=dur, ratio=args.ratio)
+    img_pub = DataPublisher(img_src, img_q, duration=dur, ratio=args.ratio)
     imu_pub.start(now)
     img_pub.start(now)
     vio.join()
+    wall = time.time() - now
     n = len(vio.results)
-    print(f"[realtime] {n} poses -> {writer.path}")
+    print(f"[realtime] {n} poses in {wall:.1f}s wall "
+          f"({n / wall:.1f} poses/s end-to-end) -> {writer.path}")
 
 
 def main(argv=None):
@@ -250,6 +293,9 @@ def main(argv=None):
                              "directory already holds snapshots, resume from "
                              "the latest one")
     parser.add_argument("--checkpoint-every", type=int, default=200)
+    parser.add_argument("--warmup", action="store_true",
+                        help="realtime mode: compile the fused step on a dummy "
+                             "frame before starting the publishers")
     parser.add_argument("--profile", action="store_true",
                         help="batch mode: wrap stages in StageTimer + a "
                              "jax.profiler device trace; dumps "

@@ -60,6 +60,10 @@ class StepOutput(NamedTuple):
     n_cams: jnp.ndarray  # () int32
     n_features: jnp.ndarray  # () int32
     n_lost_overflow: jnp.ndarray  # () int32 — lost features beyond capacity
+    # IMU-cam0 extrinsics snapshot: lets a streaming publisher compute the
+    # cam0 pose without touching the (donated) filter state buffers
+    R_imu_cam0: jnp.ndarray  # (3,3)
+    t_cam0_imu: jnp.ndarray  # (3,)
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +170,14 @@ def add_observations(state: FilterState, feat_ids, feat_uv, feat_mask) -> Filter
 
 
 def _triangulate_one(state: FilterState, params: MsckfParams, config: Config,
-                     slot, obs_sel_mask):
+                     slot, obs_sel_mask, active):
     """check_motion + initialize_position for feature at ``slot`` using the
     observations selected by ``obs_sel_mask`` for pose bookkeeping; the
-    reference always triangulates over ALL of the feature's observations."""
+    reference always triangulates over ALL of the feature's observations.
+
+    ``active`` marks batch elements whose result is actually used: inactive
+    ones exit the LM loops immediately (under vmap the while trip count is
+    the max over the batch — see triangulation.triangulate)."""
     cams = state.cams
     table = state.features
     views = tri.build_views(
@@ -183,7 +191,7 @@ def _triangulate_one(state: FilterState, params: MsckfParams, config: Config,
         first = jnp.argmax(obs_sel_mask)
         first_z = table.obs[slot][first, :2]
         motion_ok = tri.check_motion(views, obs_sel_mask, first_z, cfg, cams.q, cams.p)
-    pos, tri_ok = tri.triangulate(views, cfg)
+    pos, tri_ok = tri.triangulate(views, cfg, active=active)
     return motion_ok, pos, tri_ok
 
 
@@ -232,17 +240,12 @@ def _remove_lost_once(state: FilterState, params: MsckfParams, config: Config,
     sel_mask = cand[sel]
     n_overflow = jnp.maximum(jnp.sum(cand.astype(jnp.int32)) - L, 0).astype(jnp.int32)
 
-    # triangulate the not-yet-initialized selected features
-    def tri_one(slot, is_sel):
-        def run(_):
-            return _triangulate_one(state, params, config, slot, table.obs_mask[slot])
-
-        def skip(_):
-            return jnp.ones((), bool), jnp.zeros(3, dtype), jnp.zeros((), bool)
-
-        return lax.cond(is_sel & ~table.initialized[slot], run, skip, None)
-
-    motion_ok, new_pos, tri_ok = jax.vmap(tri_one)(sel, sel_mask)
+    # triangulate the not-yet-initialized selected features (inactive batch
+    # elements skip the LM loops; their outputs are masked out below)
+    motion_ok, new_pos, tri_ok = jax.vmap(
+        lambda slot, act: _triangulate_one(
+            state, params, config, slot, table.obs_mask[slot], act)
+    )(sel, sel_mask & ~table.initialized[sel])
 
     need_init = sel_mask & ~table.initialized[sel]
     init_fail = need_init & (~motion_ok | ~tri_ok)
@@ -393,17 +396,11 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
         sel_two = two[sel]
 
         # triangulate uninitialized selected features over ALL observations
-        def tri_one(slot, is_sel):
-            def run(_):
-                return _triangulate_one(state, params, config, slot,
-                                        table.obs_mask[slot])
-
-            def skip(_):
-                return jnp.ones((), bool), jnp.zeros(3, dtype), jnp.zeros((), bool)
-
-            return lax.cond(is_sel & ~table.initialized[slot], run, skip, None)
-
-        motion_ok, new_pos, tri_ok = jax.vmap(tri_one)(sel, sel_two)
+        # (inactive batch elements skip the LM loops)
+        motion_ok, new_pos, tri_ok = jax.vmap(
+            lambda slot, act: _triangulate_one(
+                state, params, config, slot, table.obs_mask[slot], act)
+        )(sel, sel_two & ~table.initialized[sel])
         need_init = sel_two & ~table.initialized[sel]
         init_fail = need_init & (~motion_ok | ~tri_ok)
         init_done = need_init & motion_ok & tri_ok
@@ -618,6 +615,8 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
             n_cams=state.cams.count,
             n_features=jnp.sum(state.features.valid.astype(jnp.int32)).astype(jnp.int32),
             n_lost_overflow=n_overflow,
+            R_imu_cam0=state.imu.R_imu_cam0,
+            t_cam0_imu=state.imu.t_cam0_imu,
         )
         # publish happens before the online reset (ref msckf.py:225-228)
         state, did_reset = online_reset(state, params, config)
@@ -636,6 +635,8 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
             n_cams=state.cams.count,
             n_features=jnp.zeros((), jnp.int32),
             n_lost_overflow=jnp.zeros((), jnp.int32),
+            R_imu_cam0=state.imu.R_imu_cam0,
+            t_cam0_imu=state.imu.t_cam0_imu,
         )
         return state, out
 

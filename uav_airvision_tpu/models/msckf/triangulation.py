@@ -156,12 +156,19 @@ def _solve3(A, b):
     return jnp.where(jnp.abs(det) > 1e-30, x, jnp.zeros_like(x))
 
 
-def triangulate(views: TriangulationViews, tri: TriangulationConfig):
+def triangulate(views: TriangulationViews, tri: TriangulationConfig,
+                active=None):
     """LM solve; returns (position_world, is_valid).
 
     Loop structure mirrors the reference exactly: outer loop recomputes the
     normal equations; the inner loop retries the damped solve until the cost
     drops, with the inner counter shared across outer iterations.
+
+    ``active=False`` makes the loops exit immediately (outputs unused by the
+    caller).  Under ``vmap`` a while_loop runs until EVERY batch element's
+    condition is false, so without this the padding slots of a masked batch
+    — whose stale observations never converge — would drag every frame to
+    the worst-case iteration count.
     """
     dtype = views.z.dtype
     x0 = _initial_guess(views)
@@ -203,7 +210,10 @@ def triangulate(views: TriangulationViews, tri: TriangulationConfig):
         )
         return (x, lam, cost, dnorm, outer + 1, inner)
 
-    init = (x0, lambd0, cost0, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    dnorm0 = jnp.asarray(jnp.inf, dtype)
+    if active is not None:
+        dnorm0 = jnp.where(active, dnorm0, 0.0)  # inactive: loops never run
+    init = (x0, lambd0, cost0, dnorm0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     x, _, _, _, _, _ = lax.while_loop(outer_cond, outer_body, init)
 
     final = jnp.stack([x[0], x[1], jnp.ones((), dtype)]) / x[2]

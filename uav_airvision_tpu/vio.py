@@ -3,11 +3,16 @@
 API-compatible with the reference orchestrator
 (``VIO(config, img_queue, imu_queue, viewer).start()``, reference
 src/modules/vio.py:6-53), but instead of three Python threads handing
-messages between Python objects, the consumer threads assemble fixed-shape
-frames on the host and launch ONE compiled device step per stereo frame
-(front-end + estimator fused).  IMU messages are only buffered host-side;
-gravity/bias initialization happens after ``imu_init_msgs`` messages exactly
-like the reference (msckf.py:162-174).
+messages between Python objects, the consumer thread assembles a fixed-shape
+frame on the host and launches ONE fused compiled device step per stereo
+frame (front-end + estimator, the same ``vio_step`` the batch scan runs),
+with the state buffers donated so no copy of the covariance/feature tables/
+banded pyramid happens per frame.  Publishing (trajectory write, viewer
+feed) runs on a separate thread consuming device outputs asynchronously —
+the device->host sync of frame k overlaps the dispatch of frame k+1.  IMU
+messages are only buffered host-side; gravity/bias initialization happens
+after ``imu_init_msgs`` messages exactly like the reference
+(msckf.py:162-174).
 """
 
 from __future__ import annotations
@@ -23,9 +28,9 @@ import jax.numpy as jnp
 from .config import Config
 from .utils.precision import with_highest_precision
 from .models.frontend.params import make_frontend_params
-from .models.frontend.pipeline import frontend_step, init_frontend_state
+from .models.frontend.pipeline import init_frontend_state
 from .models.msckf.state import init_state, make_params
-from .models.msckf.step import FrameInput, backend_step
+from .models.vio import VioFrame, VioState, vio_step
 from .utils.trajectory import TrajectoryWriter
 from .utils import quaternion as quat
 from .utils.transforms import Isometry
@@ -44,19 +49,25 @@ class VIO:
 
         self.fparams = make_frontend_params(config)
         self.mparams = make_params(config)
-        self._fe_step = with_highest_precision(jax.jit(
-            lambda st, c0, c1, w, dt: frontend_step(st, c0, c1, w, dt,
-                                                    self.fparams, self.config)
-        ))
-        self._be_step = with_highest_precision(jax.jit(
-            lambda st, fr: backend_step(st, fr, self.mparams, self.config)
+        self._step = with_highest_precision(jax.jit(
+            lambda st, fr: vio_step(st, fr, self.fparams, self.mparams,
+                                    self.config),
+            donate_argnums=(0,),
         ))
 
-        self.fe_state = init_frontend_state(config)
-        self.filter_state = None  # created after gravity init
+        # jnp.copy normalizes the freshly-initialized buffers: donation of
+        # eagerly-created arrays trips an InvalidArgument in the axon TPU
+        # backend (copies produced by a jit execute donate fine)
+        self.vio_state = jax.tree.map(jnp.copy, VioState(
+            frontend=init_frontend_state(config),
+            filter=init_state(config, self.mparams, np.zeros(3),
+                              np.asarray([0.0, 0.0, 9.81])),
+        ))
         self.time_base = None  # float32-device time rebase (see prebatch.py)
         self.imu_buffer = []  # (t, w, a)
         self.fe_ptr_t = -np.inf  # front-end window truncation point
+        self._be_ptr_t = -np.inf  # backend consumption pointer
+        self._started = False  # first active frame processed
         self.prev_img_t = None
         self.is_gravity_set = False
         self.gyro_bias = None
@@ -65,33 +76,64 @@ class VIO:
 
         self.img_thread = Thread(target=self._process_img, daemon=True)
         self.imu_thread = Thread(target=self._process_imu, daemon=True)
+        self._publish_queue = Queue(maxsize=64)
+        self.publish_thread = Thread(target=self._publish_loop, daemon=True)
 
     def start(self):
         self.imu_thread.start()
         self.img_thread.start()
+        self.publish_thread.start()
 
     def join(self):
         self.img_thread.join()
+        self.publish_thread.join()
+
+    def warmup(self):
+        """Compile the fused step on a dummy inactive frame (throwaway state
+        copy — the real one is never donated here)."""
+        cap = self.config.capacity
+        h, w = self.config.calib.cam0_resolution[1], self.config.calib.cam0_resolution[0]
+        I = cap.max_imu_per_frame
+        dummy = VioFrame(
+            timestamp=jnp.zeros((), jnp.float32),
+            cam0=jnp.zeros((h, w), jnp.uint8),
+            cam1=jnp.zeros((h, w), jnp.uint8),
+            imu_t=jnp.zeros((I,), jnp.float32),
+            imu_w=jnp.zeros((I, 3), jnp.float32),
+            imu_a=jnp.zeros((I, 3), jnp.float32),
+            imu_mask=jnp.zeros((I,), bool),
+            fe_mean_w=jnp.zeros((3,), jnp.float32),
+            fe_dt=jnp.zeros((), jnp.float32),
+            active=jnp.zeros((), bool),
+        )
+        st = jax.tree.map(jnp.copy, self.vio_state)
+        st, out = self._step(st, dummy)
+        jax.block_until_ready(out)
 
     # ------------------------------------------------------------------
+    def process_imu_msg(self, msg):
+        """Buffer one IMU message (thread-agnostic; the imu thread calls
+        this, and tests may call it synchronously)."""
+        self.imu_buffer.append(
+            (msg.timestamp, np.asarray(msg.angular_velocity),
+             np.asarray(msg.linear_acceleration))
+        )
+        if not self.is_gravity_set and len(self.imu_buffer) >= self.config.capacity.imu_init_msgs:
+            n = self.config.capacity.imu_init_msgs
+            ws = np.stack([m[1] for m in self.imu_buffer[:n]])
+            accs = np.stack([m[2] for m in self.imu_buffer[:n]])
+            self.gyro_bias = ws.mean(axis=0)
+            self.acc_mean = accs.mean(axis=0)
+            # the img thread owns vio_state; it swaps the filter in
+            # before the first active frame
+            self.is_gravity_set = True
+
     def _process_imu(self):
         while True:
             msg = self.imu_queue.get()
             if msg is None:
                 break
-            self.imu_buffer.append(
-                (msg.timestamp, np.asarray(msg.angular_velocity),
-                 np.asarray(msg.linear_acceleration))
-            )
-            if not self.is_gravity_set and len(self.imu_buffer) >= self.config.capacity.imu_init_msgs:
-                n = self.config.capacity.imu_init_msgs
-                ws = np.stack([m[1] for m in self.imu_buffer[:n]])
-                accs = np.stack([m[2] for m in self.imu_buffer[:n]])
-                self.gyro_bias = ws.mean(axis=0)
-                self.acc_mean = accs.mean(axis=0)
-                self.filter_state = init_state(self.config, self.mparams,
-                                               self.gyro_bias, self.acc_mean)
-                self.is_gravity_set = True
+            self.process_imu_msg(msg)
 
     def _frontend_window(self, curr_t):
         """Mean angular velocity over [prev_t - 0.01, curr_t - 0.004) with the
@@ -115,91 +157,142 @@ class VIO:
         return mean, curr_t - self.prev_img_t
 
     def _backend_imu_slice(self, frame_t):
+        """Messages in (last consumed, frame_t] for the propagation window.
+
+        Consumption is tracked by pointer (``_be_ptr_t``) and the buffer
+        retains an 11 ms tail past the consumed point: the NEXT frame's
+        front-end rotation window starts at frame_t - 0.01 and must still
+        see those messages (the reference keeps separate buffers per
+        consumer, imu_processor.py:66 vs msckf.py:251-273)."""
         cap = self.config.capacity
         I = cap.max_imu_per_frame
         out_t = np.zeros(I)
         out_w = np.zeros((I, 3))
         out_a = np.zeros((I, 3))
         out_m = np.zeros(I, bool)
-        consumed = 0
         j = 0
         for (t, w, a) in self.imu_buffer:
             if t > frame_t:
                 break
-            consumed += 1
-            if j < I:
+            if t > self._be_ptr_t and j < I:
                 out_t[j], out_w[j], out_a[j], out_m[j] = t, w, a, True
                 j += 1
-        self.imu_buffer = self.imu_buffer[consumed:]
+        self._be_ptr_t = frame_t
+        self.imu_buffer = [m for m in self.imu_buffer if m[0] > frame_t - 0.011]
         return out_t, out_w, out_a, out_m
 
     def _process_img(self):
+        try:
+            self._process_img_loop()
+        finally:
+            # unblock join()/the publisher even if the device step raised
+            self._publish_queue.put(None)
+
+    def process_stereo_msg(self, msg):
+        """One stereo frame through the fused device step (thread-agnostic;
+        the img thread calls this, tests may call it synchronously)."""
+        if self.viewer is not None:
+            self.viewer.update_image(msg.cam0_image)
+        t = msg.timestamp
+        mean_w, dt = self._frontend_window(t)
+
+        active = self.is_gravity_set
+        if active and not self._started:
+            # gravity just initialized: swap in the measured-bias filter
+            # state and discard IMU messages before the first frame
+            # (reference msckf.py:188-190 clock anchoring)
+            self.vio_state = VioState(
+                frontend=self.vio_state.frontend,
+                filter=jax.tree.map(jnp.copy, init_state(
+                    self.config, self.mparams,
+                    self.gyro_bias, self.acc_mean)),
+            )
+            self.imu_buffer = [m for m in self.imu_buffer if m[0] >= t]
+            self._started = True
+        if active:
+            imu_t, imu_w, imu_a, imu_m = self._backend_imu_slice(t)
+        else:
+            I = self.config.capacity.max_imu_per_frame
+            imu_t, imu_w, imu_a, imu_m = (
+                np.zeros(I), np.zeros((I, 3)), np.zeros((I, 3)),
+                np.zeros(I, bool))
+        if self.time_base is None:
+            self.time_base = t
+        base = self.time_base
+        frame = VioFrame(
+            timestamp=jnp.asarray(t - base, jnp.float32),
+            cam0=jnp.asarray(msg.cam0_image),
+            cam1=jnp.asarray(msg.cam1_image),
+            imu_t=jnp.asarray(np.where(imu_m, imu_t - base, 0.0), jnp.float32),
+            imu_w=jnp.asarray(imu_w, jnp.float32),
+            imu_a=jnp.asarray(imu_a, jnp.float32),
+            imu_mask=jnp.asarray(imu_m),
+            fe_mean_w=jnp.asarray(mean_w, jnp.float32),
+            fe_dt=jnp.asarray(dt, jnp.float32),
+            active=jnp.asarray(bool(active)),
+        )
+        # ONE fused async dispatch; state buffers are donated.  The
+        # publisher thread syncs the output while we assemble the next
+        # frame.
+        self.vio_state, out = self._step(self.vio_state, frame)
+        self.prev_img_t = t
+        if active:
+            self._publish_queue.put(out)
+
+    def _process_img_loop(self):
         while True:
             msg = self.img_queue.get()
             if msg is None:
                 break
-            if self.viewer is not None:
-                self.viewer.update_image(msg.cam0_image)
-            t = msg.timestamp
-            mean_w, dt = self._frontend_window(t)
-            self.fe_state, fe_out = self._fe_step(
-                self.fe_state,
-                jnp.asarray(msg.cam0_image), jnp.asarray(msg.cam1_image),
-                jnp.asarray(mean_w, jnp.float32), jnp.asarray(dt, jnp.float32),
-            )
-            self.prev_img_t = t
+            self.process_stereo_msg(msg)
 
-            if not self.is_gravity_set:
-                continue
-            if self.filter_state.started:
-                imu_t, imu_w, imu_a, imu_m = self._backend_imu_slice(t)
-            else:
-                # first processed frame: discard everything before its stamp
-                self.imu_buffer = [m for m in self.imu_buffer if m[0] >= t]
-                imu_t, imu_w, imu_a, imu_m = self._backend_imu_slice(t)
-            if self.time_base is None:
-                self.time_base = t
-            base = self.time_base
-            dtype = self.filter_state.cov.dtype
-            frame = FrameInput(
-                timestamp=jnp.asarray(t - base, dtype),
-                imu_t=jnp.asarray(np.where(imu_m, imu_t - base, 0.0), dtype),
-                imu_w=jnp.asarray(imu_w, dtype),
-                imu_a=jnp.asarray(imu_a, dtype),
-                imu_mask=jnp.asarray(imu_m),
-                feat_ids=fe_out.ids,
-                feat_uv=fe_out.uv.astype(dtype),
-                feat_mask=fe_out.mask,
-                active=jnp.asarray(True),
-            )
-            self.filter_state, out = self._be_step(self.filter_state, frame)
+    def _publish_loop(self):
+        """Drain device outputs asynchronously: trajectory write + viewer."""
+        while True:
+            out = self._publish_queue.get()
+            if out is None:
+                break
             result = self._publish(out)
             if result is not None and self.viewer is not None:
                 self.viewer.update_pose(result.cam0_pose)
 
     def _publish(self, out):
-        if not bool(out.active):
+        # ONE device->host fetch for the whole StepOutput (separate
+        # np.asarray per field would be one tunnel round trip each), then
+        # pure NumPy: no device dispatches on the publish path.
+        o = jax.device_get(out)
+        if not bool(o.active):
             return None
-        q = np.asarray(out.q)
-        p = np.asarray(out.p)
-        v = np.asarray(out.v)
-        t_abs = (self.time_base or 0.0) + float(out.timestamp)
+        q = np.asarray(o.q, np.float64)
+        p = np.asarray(o.p, np.float64)
+        v = np.asarray(o.v, np.float64)
+        t_abs = (self.time_base or 0.0) + float(o.timestamp)
         self.writer.append(t_abs, p, q)
 
-        R_w_i = np.asarray(quat.to_rotation(jnp.asarray(q)))
+        R_w_i = _np_quat_to_rotation(q)
         Tib = self.config.np_T_imu_body()
         T_i_w = (R_w_i.T, p)
         # body pose: T_imu_body * T_i_w * T_imu_body^-1 (reference publish)
         Rb, tb = Tib[:3, :3], Tib[:3, 3]
         R_b_w = Rb @ T_i_w[0] @ Rb.T
         t_b_w = Rb @ (T_i_w[1] - T_i_w[0] @ Rb.T @ tb) + tb
-        body_pose = Isometry(jnp.asarray(R_b_w), jnp.asarray(t_b_w))
+        body_pose = Isometry(R_b_w, t_b_w)
         body_velocity = Rb @ v
 
-        imu = self.filter_state.imu
-        R_w_c = np.asarray(imu.R_imu_cam0) @ R_w_i
-        t_c_w = p + R_w_i.T @ np.asarray(imu.t_cam0_imu)
-        cam0_pose = Isometry(jnp.asarray(R_w_c.T), jnp.asarray(t_c_w))
+        R_w_c = np.asarray(o.R_imu_cam0, np.float64) @ R_w_i
+        t_c_w = p + R_w_i.T @ np.asarray(o.t_cam0_imu, np.float64)
+        cam0_pose = Isometry(R_w_c.T, t_c_w)
         result = vio_result(t_abs, body_pose, body_velocity, cam0_pose)
         self.results.append(result)
         return result
+
+
+def _np_quat_to_rotation(q):
+    """JPL quaternion [x y z w] -> rotation matrix, NumPy (publish path must
+    not dispatch device ops; mirrors utils.quaternion.to_rotation)."""
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y + z * w), 2 * (x * z - y * w)],
+        [2 * (x * y - z * w), 1 - 2 * (x * x + z * z), 2 * (y * z + x * w)],
+        [2 * (x * z + y * w), 2 * (y * z - x * w), 1 - 2 * (x * x + y * y)],
+    ])
