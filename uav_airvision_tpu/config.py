@@ -85,6 +85,13 @@ class FrontendConfig:
     # already sub-pixel for true matches, so the coarse levels add cost but
     # no discrimination.  Set True for the reference's full-pyramid backward.
     stereo_full_backward: bool = False
+    # Pyramid levels for the stereo FORWARD LK (-1 = full pyramid, the
+    # reference behavior, the default).  Measured on the synthetic world
+    # (scripts/exp_stereo_levels.py): truncating to 2 levels buys only ~14%
+    # fps and costs 6x ATE (0.0063 -> 0.038 m) — near-scene disparities
+    # exceed the truncated search range.  Kept as a knob for wide-baseline
+    # configs where disparity is known-small; do not change the default.
+    stereo_fwd_levels: int = -1
     # True: build the 7x7 detection mask from post-stereo tracked features
     # (the reference's exact order, costs one extra LK batch); False: build
     # it from pre-stereo temporal tracks so tracked + candidate stereo

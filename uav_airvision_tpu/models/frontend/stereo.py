@@ -51,10 +51,12 @@ def stereo_match(
         params.cam0_coeffs,
     )
 
+    n_fwd = None if fe.stereo_fwd_levels < 0 else fe.stereo_fwd_levels
     p1, st_fwd = lk.pyramidal_lk_banded(
         bp0, bp1, cam0_pts, proj1, valid,
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
+        n_levels=n_fwd,
     )
     # Backward pass for the fwd/bwd error gate.  Default: level 0 only — the
     # initial guess (the original cam0 point) is already sub-pixel for true
