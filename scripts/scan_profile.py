@@ -96,7 +96,7 @@ if __name__ == "__main__":
     scan_time(band_body, img0.astype(jnp.float32), reps, "pyramid+band (1 cam)")
 
     def extract_body(c):
-        w, ry, rx = ex.extract_pyr(pyrA, 0, c, c + 7, 48)
+        w, ry, rx = ex.extract_pyr(pyrA, 0, c, c + 7, ex.BAND_BW - ex.BAND_STRIDE)
         return jnp.clip(c + jnp.sum(w, axis=(1, 2)).astype(jnp.int32) % 5 - 2,
                         0, 400)
 

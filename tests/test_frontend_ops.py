@@ -170,7 +170,7 @@ def test_banded_extract_exact():
     for (h, w) in [(514, 786), (94, 128)]:
         img = jnp.asarray(rng.normal(0, 1, (h, w)).astype(np.float32))
         b = ex.band_image(img)
-        need = 48
+        need = ex.BAND_BW - ex.BAND_STRIDE
         oy = jnp.asarray(
             np.concatenate([[0, h - need, h - need - 1], rng.integers(0, h - need, 29)]),
             jnp.int32)

@@ -28,10 +28,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Defaults sized for LK: window 15+1 plus up to 2*16 search margin = 48,
-# and 48 + stride <= bw.
+# Defaults sized for LK: window 15+1 plus 2*LK_MARGIN(8) search span = 32,
+# and 32 + stride <= bw.  48-blocks measured ~18% faster end-to-end than
+# 64-blocks at equal ATE (9 banding copies instead of 16; Gauss-Newton
+# sampling matmuls scale with block area).
 BAND_STRIDE = 16
-BAND_BW = 64
+BAND_BW = 48
 
 
 @jax.tree_util.register_pytree_node_class
