@@ -112,7 +112,10 @@ def main():
     wall = time.time() - t0
     fps = n / wall
 
-    baseline_fps = 8.0  # reference effective playback rate (BASELINE.md)
+    # Fastest measured flat-out rate of the NumPy/OpenCV reference on this
+    # machine's CPU (reports/parity_report.json, small-frame case) — NOT the
+    # 8 fps paced-playback rate, which would flatter the ratio.
+    baseline_fps = 21.5
     print(json.dumps({
         "metric": f"stereo VIO frames/sec/chip ({source}, {n} frames, "
                   f"{jax.devices()[0].platform})",

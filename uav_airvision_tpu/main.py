@@ -271,7 +271,21 @@ def run_realtime(args):
           f"({n / wall:.1f} poses/s end-to-end) -> {writer.path}")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (shared with bench.py): the fused
+    step is a large program and the remote axon compile path is slow."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_uav"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(description="TPU-native stereo VIO")
     parser.add_argument("--path", default="./datasets/V2_03_difficult")
     parser.add_argument("--offset", type=float, default=10.0)

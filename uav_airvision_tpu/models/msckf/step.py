@@ -200,13 +200,30 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
     ``max_lost_per_frame`` features are lost at once (feature-dense input),
     a second masked pass processes the next batch within the remaining
     1500-row budget — the reference processes ALL lost features in one stack
-    subject to the same row cap (src/msckf.py:614-676)."""
-    state, warn1, n_over1, rows1 = _remove_lost_once(
-        state, params, config, jnp.asarray(1500, jnp.int32))
+    subject to the same row cap (src/msckf.py:614-676).
+
+    Size-tiered: in steady state only a handful of features are lost per
+    frame, so a small-batch instantiation handles the common case — the
+    triangulation / Jacobian / gating work is batched over 16 slots instead
+    of 64 (outside vmap, lax.cond really skips the untaken branch)."""
+    SMALL = 16
+    n_cand = _count_lost_candidates(state)
+
+    def small(st):
+        return _remove_lost_once(st, params, config,
+                                 jnp.asarray(1500, jnp.int32), SMALL)
+
+    def big(st):
+        return _remove_lost_once(st, params, config,
+                                 jnp.asarray(1500, jnp.int32),
+                                 config.capacity.max_lost_per_frame)
+
+    state, warn1, n_over1, rows1 = lax.cond(n_cand <= SMALL, small, big, state)
 
     def second(st):
         st2, w2, n2, _ = _remove_lost_once(
-            st, params, config, (1500 - rows1).astype(jnp.int32))
+            st, params, config, (1500 - rows1).astype(jnp.int32),
+            config.capacity.max_lost_per_frame)
         return st2, w2, n2
 
     def skip(st):
@@ -216,15 +233,25 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
     return state, warn1 | warn2, n_over2
 
 
+def _count_lost_candidates(state: FilterState):
+    table = state.features
+    M = table.fid.shape[0]
+    cslot = state.cams.count - 1
+    seen_now = jnp.take_along_axis(
+        table.obs_mask, jnp.full((M, 1), cslot), axis=1)[:, 0]
+    obs_count = jnp.sum(table.obs_mask.astype(jnp.int32), axis=1)
+    cand = table.valid & ~seen_now & (obs_count >= 3)
+    return jnp.sum(cand.astype(jnp.int32))
+
+
 def _remove_lost_once(state: FilterState, params: MsckfParams, config: Config,
-                      row_cap):
+                      row_cap, L):
     cap = config.capacity
     table = state.features
     cams = state.cams
     dtype = state.cov.dtype
     M, N = table.obs_mask.shape
     D = cap.state_dim
-    L = cap.max_lost_per_frame
 
     cslot = cams.count - 1
     seen_now = jnp.take_along_axis(table.obs_mask, jnp.full((M, 1), cslot), axis=1)[:, 0]
@@ -371,25 +398,43 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
 
     def do_prune(state):
         table = state.features
+        M = table.obs_mask.shape[0]
+
+        rm = _find_redundant(state)  # (2,) sorted positions
+        inv0 = table.obs_mask[:, :][jnp.arange(M)[:, None], rm[None, :]]  # (M,2)
+        k_inv = jnp.sum(inv0.astype(jnp.int32), axis=1) * table.valid.astype(jnp.int32)
+        two = table.valid & (k_inv == 2)
+        n_two = jnp.sum(two.astype(jnp.int32))
+
+        # size tier: few features usually see both pruned cams; the small
+        # instantiation quarters the triangulation/Jacobian/gating batch
+        SMALL = 32
+        return lax.cond(
+            n_two <= SMALL,
+            lambda s: _prune_sized(s, params, config, rm, two, n_two, SMALL),
+            lambda s: _prune_sized(s, params, config, rm, two, n_two,
+                                   min(cap.max_prune_feats, M)),
+            state,
+        )
+
+    def no_prune(state):
+        return state, jnp.zeros((), bool)
+
+    return lax.cond(
+        state.cams.count >= config.filter.max_cam_state_size, do_prune, no_prune, state
+    )
+
+
+def _prune_sized(state: FilterState, params: MsckfParams, config: Config,
+                 rm, two, n_two, Kp):
+    cap = config.capacity
+    if True:  # preserved indentation of the original body
+        table = state.features
         cams = state.cams
         dtype = state.cov.dtype
         M, N = table.obs_mask.shape
         D = cap.state_dim
-
-        rm = _find_redundant(state)  # (2,) sorted positions
         r0, r1 = rm[0], rm[1]
-
-        inv0 = table.obs_mask[:, :][jnp.arange(M)[:, None], rm[None, :]]  # (M,2)
-        k_inv = jnp.sum(inv0.astype(jnp.int32), axis=1) * table.valid.astype(jnp.int32)
-
-        two = table.valid & (k_inv == 2)
-
-        # map-order selection of up to Kp involved features (the reference
-        # processes all of them; Kp >= max_features so overflow requires
-        # features surviving multiple prune cycles — if it ever happens the
-        # warn flag below makes it visible instead of silent)
-        Kp = min(cap.max_prune_feats, M)
-        n_two = jnp.sum(two.astype(jnp.int32))
         prune_overflow = n_two > Kp
         order_sel = jnp.argsort(jnp.where(two, table.seq, INT32_MAX))
         sel = order_sel[:Kp]
@@ -528,13 +573,6 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
         P = jnp.where(row_live[:, None] & row_live[None, :], P, 0.0)
 
         return state._replace(cams=cams, features=table, cov=P), warn
-
-    def no_prune(state):
-        return state, jnp.zeros((), bool)
-
-    return lax.cond(
-        state.cams.count >= config.filter.max_cam_state_size, do_prune, no_prune, state
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -159,6 +159,9 @@ def _iterate_level(
     a11, a12, a22 = tmpl["a11"], tmpl["a12"], tmpl["a22"]
     inv_det = tmpl["inv_det"]
     good = tmpl["good"]
+    # both gradient planes as one tensor: the loop body computes b1/b2 with
+    # a single contraction instead of two reductions
+    grad = jnp.stack([patch_ix, patch_iy], axis=1)  # (F, 2, win, win)
 
     # One search window per feature, one F-row gather from the pre-banded
     # image; the iteration loop below never touches HBM again.
@@ -177,12 +180,18 @@ def _iterate_level(
 
     def sample_J(pts):
         """Bilinear 15x15 patches at fractional corners via two batched
-        matmuls per feature: J = Wr @ window @ Wc^T (separable bilinear)."""
+        matmuls per feature: J = Wr @ window @ Wc^T (separable bilinear).
+        Row and column weight matrices come from ONE fused construction
+        over the stacked (2F,) position vector."""
         corner = pts - half + LK_PAD
-        py = jnp.clip(corner[:, 1] - oy.astype(dtype), 0.0, float(max_t))
-        px = jnp.clip(corner[:, 0] - ox.astype(dtype), 0.0, float(max_t))
-        Wr = jax.vmap(lambda p: _bilinear_axis_weights(p, win, BW, dtype))(py)
-        Wc = jax.vmap(lambda p: _bilinear_axis_weights(p, win, BW, dtype))(px)
+        pyx = jnp.clip(
+            jnp.stack([corner[:, 1] - oy.astype(dtype),
+                       corner[:, 0] - ox.astype(dtype)]).reshape(-1),
+            0.0, float(max_t),
+        )  # (2F,) rows first, then cols
+        Wrc = jax.vmap(lambda p: _bilinear_axis_weights(p, win, BW, dtype))(pyx)
+        Wr = Wrc[: pts.shape[0]]
+        Wc = Wrc[pts.shape[0]:]
         T1 = jax.lax.dot_general(
             Wr, windows, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=dtype,
@@ -201,8 +210,8 @@ def _iterate_level(
         pts, prev_delta, conv, it = carry
         J = sample_J(pts)
         diff = J - patch_I
-        b1 = jnp.sum(diff * patch_ix, axis=(1, 2))
-        b2 = jnp.sum(diff * patch_iy, axis=(1, 2))
+        b = jnp.einsum("fij,fcij->fc", diff, grad)
+        b1, b2 = b[:, 0], b[:, 1]
         # OpenCV: delta = [(A12 b2 - A22 b1), (A12 b1 - A11 b2)] / det
         dx = (a12 * b2 - a22 * b1) * inv_det
         dy = (a12 * b1 - a11 * b2) * inv_det
