@@ -71,7 +71,13 @@ class FrontendConfig:
     fast_threshold: int = 15
     ransac_threshold: float = 3.0  # dead in the reference (all-ones RANSAC)
     stereo_threshold: float = 5.0
-    lk_max_iteration: int = 30
+    # Reference cap is 30 (src/config.py:30); 10 is the measured fast
+    # default — LK iterations terminate on eps long before the cap for
+    # converged features, the cap only bounds stragglers, and the 200-frame
+    # bench measured max10 at BETTER ATE than max30 (0.00530 vs 0.00624 m,
+    # scripts/exp_lk_budget.py) at +46% fps.  Set 30 to restore the
+    # reference bound.
+    lk_max_iteration: int = 10
     lk_track_precision: float = 0.01
     pyramid_levels: int = 3  # LK maxLevel; pyramid has levels 0..3
     patch_size: int = 15
@@ -97,6 +103,25 @@ class FrontendConfig:
     # it from pre-stereo temporal tracks so tracked + candidate stereo
     # matches run as one batched call.
     exact_adder_mask: bool = False
+    # Disparity-seeded stereo fast path (measured at-or-better ATE, see
+    # scripts/exp_lk_budget.py): tracked features seed the forward LK at
+    # their previous-frame disparity, new candidates at their nearest
+    # tracked neighbor's disparity, and the forward pyramid truncates to
+    # ``stereo_seeded_levels`` because every seed is already near the true
+    # match.  Falls back to the full-pyramid reference path (one lax.cond)
+    # whenever fewer than ``stereo_seed_min_tracked`` temporal tracks
+    # survive, so recovery from feature starvation is unaffected.  Set
+    # ``stereo_seeded=False`` to restore the reference's rotation-projected
+    # seeds + full pyramid unconditionally.
+    stereo_seeded: bool = True
+    # 2 forward levels with disparity seeds measured BETTER ATE than the
+    # full unseeded pyramid (0.00520 vs 0.00624 m) at ~1.4x fps; 1 level is
+    # faster still but measurably worse (0.00593 m).  exp_lk_budget.py.
+    stereo_seeded_levels: int = 2
+    stereo_seed_min_tracked: int = 8
+    # False drops the lax.cond fallback (always-seeded): under fleet vmap a
+    # cond lowers to select and BOTH stereo paths would execute every frame.
+    stereo_seed_fallback: bool = True
 
     @property
     def grid_num(self) -> int:

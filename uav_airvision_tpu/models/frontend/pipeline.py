@@ -49,7 +49,7 @@ class FrontendState(NamedTuple):
     cam1: jnp.ndarray  # (F,2)
     valid: jnp.ndarray  # (F,)
     next_id: jnp.ndarray  # () int32
-    prev_pyr: Tuple  # (BandedImage, ...) previous cam0 pyramid, level 0 first
+    prev_pyr: extract.BandedPyramid  # previous cam0 pyramid, all levels banded
     initialized: jnp.ndarray  # () bool
 
 
@@ -207,8 +207,16 @@ def frontend_step(
     mean_ang_vel, dt,  # IMU window summary for rotation prediction
     params: FrontendParams,
     config: Config,
+    assume_initialized: bool = False,
 ):
-    """One stereo frame through the front-end.  Returns (state, FrontendOutput)."""
+    """One stereo frame through the front-end.  Returns (state, FrontendOutput).
+
+    ``assume_initialized=True`` statically drops the first-frame branch
+    (callers must guarantee ``state.initialized``): the fleet path hoists
+    the initialized check to a batch-level cond outside vmap, because under
+    vmap the first_frame/track_frame cond lowers to select and BOTH paths
+    — including first_frame's full-pyramid stereo match — would run every
+    frame."""
     fe = config.frontend
     cap = config.capacity
     F = cap.max_features
@@ -301,9 +309,52 @@ def frontend_step(
             )
             both_pts = jnp.concatenate([curr, apts])
             both_valid = jnp.concatenate([st, avalid])
-            both_cam1, both_inlier = stereo_match(
-                pyr0, pyr1, both_pts, both_valid, params, config
-            )
+            if fe.stereo_seeded:
+                # Disparity-seeded fast path: stereo disparity changes by a
+                # few px/frame at most, so each tracked feature's previous
+                # disparity (state holds both cams' positions) lands the
+                # forward LK within the level-0 search span — and each new
+                # candidate inherits its nearest tracked neighbor's
+                # disparity.  The full coarse-to-fine forward pyramid then
+                # truncates to ``stereo_seeded_levels`` (gates unchanged:
+                # the vertical-disparity cut still measures against the
+                # rotation projection inside stereo_match).
+                d_prev = state.cam1 - state.cam0  # (F,2) previous disparity
+                trk_ok = st & state.valid
+                n_seed = jnp.sum(trk_ok.astype(jnp.int32))
+                dist2 = jnp.sum(
+                    (apts[:, None, :] - curr[None, :, :]) ** 2, axis=-1
+                )  # (C,F)
+                dist2 = jnp.where(trk_ok[None, :], dist2, jnp.inf)
+                nn = jnp.argmin(dist2, axis=1)
+                seed = jnp.concatenate([curr + d_prev, apts + d_prev[nn]])
+                seed_ok = jnp.concatenate(
+                    [trk_ok, jnp.broadcast_to(n_seed > 0, (apts.shape[0],))]
+                )
+
+                def seeded(_):
+                    return stereo_match(
+                        pyr0, pyr1, both_pts, both_valid, params, config,
+                        init_cam1=seed, init_ok=seed_ok,
+                        n_fwd_levels=fe.stereo_seeded_levels,
+                    )
+
+                def full(_):
+                    return stereo_match(
+                        pyr0, pyr1, both_pts, both_valid, params, config
+                    )
+
+                if fe.stereo_seed_fallback:
+                    # starvation recovery: too few tracks to trust the seeds
+                    both_cam1, both_inlier = lax.cond(
+                        n_seed >= fe.stereo_seed_min_tracked, seeded, full, None
+                    )
+                else:
+                    both_cam1, both_inlier = seeded(None)
+            else:
+                both_cam1, both_inlier = stereo_match(
+                    pyr0, pyr1, both_pts, both_valid, params, config
+                )
             cam1_curr, match = both_cam1[:F], both_inlier[:F]
             acam1, ainlier = both_cam1[F:], both_inlier[F:]
 
@@ -367,7 +418,11 @@ def frontend_step(
         counters = (before_tracking, after_tracking, after_matching, after_ransac)
         return new_state, counters
 
-    state2, counters = lax.cond(state.initialized, track_frame, first_frame, state)
+    if assume_initialized:
+        state2, counters = track_frame(state)
+    else:
+        state2, counters = lax.cond(
+            state.initialized, track_frame, first_frame, state)
     state2 = state2._replace(prev_pyr=pyr0)
 
     ids, uv, mask = _normalize_publish(

@@ -32,8 +32,19 @@ def stereo_match(
     cam0_pts, valid,  # (B,2), (B,)
     params: FrontendParams,
     config: Config,
+    init_cam1=None,  # (B,2) optional better cam1 seed (disparity-propagated)
+    init_ok=None,  # (B,) which rows of init_cam1 are usable
+    n_fwd_levels=None,  # static override of the forward-LK pyramid depth
 ):
-    """Returns (cam1_pts (B,2), inlier (B,))."""
+    """Returns (cam1_pts (B,2), inlier (B,)).
+
+    When ``init_cam1``/``init_ok`` are given, rows with a usable seed start
+    the forward LK there instead of at the rotation-projected point; the
+    vertical-disparity gate still measures against the rotation projection
+    (reference semantics, stereo_matcher.py:75-80).  ``n_fwd_levels``
+    statically truncates the forward pyramid — callers pass 1 when every
+    seed is already within the level-0 search span (see pipeline.py's
+    disparity-seeded fast path)."""
     fe = config.frontend
     # logical image size: pyramid level 0 carries LK_PAD of border padding
     # (the reference culls at the true image bounds, stereo_matcher.py:82-88)
@@ -51,9 +62,15 @@ def stereo_match(
         params.cam0_coeffs,
     )
 
-    n_fwd = None if fe.stereo_fwd_levels < 0 else fe.stereo_fwd_levels
+    if n_fwd_levels is not None:
+        n_fwd = n_fwd_levels
+    else:
+        n_fwd = None if fe.stereo_fwd_levels < 0 else fe.stereo_fwd_levels
+    seed = proj1
+    if init_cam1 is not None:
+        seed = jnp.where(init_ok[:, None], init_cam1, proj1)
     p1, st_fwd = lk.pyramidal_lk_banded(
-        bp0, bp1, cam0_pts, proj1, valid,
+        bp0, bp1, cam0_pts, seed, valid,
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
         n_levels=n_fwd,

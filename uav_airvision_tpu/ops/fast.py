@@ -42,9 +42,11 @@ def fast_score_map(img, threshold: int):
 
     img: (H, W) uint8/float.  The 3-pixel border is excluded.
     """
-    # bf16 internally: every value here is an integer in [-512, 512) (pixel
-    # differences and FAST scores), exactly representable in bf16's 8-bit
-    # mantissa — same results as int32 at half the VPU/HBM traffic.
+    # bf16 internally: every value here is a uint8 pixel difference or FAST
+    # score, i.e. an integer with |v| <= 255 < 2^8, exactly representable in
+    # bf16's 8-bit significand — same results as int32 at half the VPU/HBM
+    # traffic.  (256 is the exactness ceiling: wider-depth images or summed
+    # arcs would need the cast revisited.)
     f = img.astype(jnp.bfloat16)
     H, W = f.shape
 

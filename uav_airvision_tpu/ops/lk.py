@@ -144,7 +144,12 @@ def _iterate_level(
     next_pts_l, win, max_iter, eps2,
 ):
     """Gauss-Newton iterations of one pyramid level for all features.
-    Points are in level coordinates.  Returns refined points."""
+    Points are in level coordinates.  Returns refined points.
+
+    The while_loop body runs TWO Gauss-Newton steps (each gated on its own
+    iteration index, so the math is identical to one-step bodies): the
+    per-frame cost here is dispatch-bound, and halving the loop's cond/body
+    launches buys measurable wall time at zero numerical change."""
     dtype = curr_bp.bands.dtype
     half = (win - 1) * 0.5
     HP, WP = curr_bp.levels[level][:2]
@@ -162,6 +167,8 @@ def _iterate_level(
     # both gradient planes as one tensor: the loop body computes b1/b2 with
     # a single contraction instead of two reductions
     grad = jnp.stack([patch_ix, patch_iy], axis=1)  # (F, 2, win, win)
+    # loop-invariant template part of b: b = <grad, J> - <grad, I>
+    b_tmpl = jnp.einsum("fij,fcij->fc", patch_I, grad)
 
     # One search window per feature, one F-row gather from the pre-banded
     # image; the iteration loop below never touches HBM again.
@@ -173,10 +180,17 @@ def _iterate_level(
         jnp.floor(corner0[:, 0]).astype(jnp.int32) - LK_MARGIN, 0, WP - need
     )
     windows, ry, rx = extract_pyr(curr_bp, level, des_y, des_x, need)
-    oy = des_y - ry  # 64-block origin (absolute padded coords)
+    oy = des_y - ry  # block origin (absolute padded coords)
     ox = des_x - rx
 
     max_t = BW - (win + 1)
+    # Per-feature sample-corner bounds: block rows/cols past the padded image
+    # edge hold zero padding (extract.py pads to the block grid), so clamp to
+    # the guaranteed-in-image span instead of the full block (keeps the
+    # block-snap slack everywhere except the true image edge).
+    uby = jnp.minimum(max_t, HP - (win + 1) - oy).astype(dtype)  # (F,)
+    ubx = jnp.minimum(max_t, WP - (win + 1) - ox).astype(dtype)
+    ub = jnp.concatenate([uby, ubx])  # (2F,) rows first, then cols
 
     def sample_J(pts):
         """Bilinear 15x15 patches at fractional corners via two batched
@@ -187,7 +201,7 @@ def _iterate_level(
         pyx = jnp.clip(
             jnp.stack([corner[:, 1] - oy.astype(dtype),
                        corner[:, 0] - ox.astype(dtype)]).reshape(-1),
-            0.0, float(max_t),
+            0.0, ub,
         )  # (2F,) rows first, then cols
         Wrc = jax.vmap(lambda p: _bilinear_axis_weights(p, win, BW, dtype))(pyx)
         Wr = Wrc[: pts.shape[0]]
@@ -202,15 +216,11 @@ def _iterate_level(
         )  # (F, win, win)
         return J
 
-    def cond(carry):
-        pts, prev_delta, conv, it = carry
-        return (it < max_iter) & jnp.any(~conv)
-
-    def body(carry):
-        pts, prev_delta, conv, it = carry
+    def gn_step(pts, prev_delta, conv, it):
+        """One OpenCV-semantics Gauss-Newton step, gated on ``it < max_iter``
+        (the caller may run it past the loop cond's granularity)."""
         J = sample_J(pts)
-        diff = J - patch_I
-        b = jnp.einsum("fij,fcij->fc", diff, grad)
+        b = jnp.einsum("fij,fcij->fc", J, grad) - b_tmpl
         b1, b2 = b[:, 0], b[:, 1]
         # OpenCV: delta = [(A12 b2 - A22 b1), (A12 b1 - A11 b2)] / det
         dx = (a12 * b2 - a22 * b1) * inv_det
@@ -229,12 +239,12 @@ def _iterate_level(
         new_corner = new_pts - half + LK_PAD
         in_win = (
             (new_corner[:, 0] - ox >= 0.0)
-            & (new_corner[:, 0] - ox <= max_t)
+            & (new_corner[:, 0] - ox <= ubx)
             & (new_corner[:, 1] - oy >= 0.0)
-            & (new_corner[:, 1] - oy <= max_t)
+            & (new_corner[:, 1] - oy <= uby)
         )
 
-        step_mask = (~conv) & good & in_win
+        step_mask = (~conv) & good & in_win & (it < max_iter)
         pts = jnp.where(step_mask[:, None], new_pts, pts)
 
         d2 = jnp.sum(delta * delta, axis=-1)
@@ -246,7 +256,17 @@ def _iterate_level(
         )
         pts = jnp.where((step_mask & flip)[:, None], pts - delta * 0.5, pts)
         conv = conv | small | flip | ~good | ~inb | ~in_win
-        return (pts, delta, conv, it + 1)
+        return pts, delta, conv
+
+    def cond(carry):
+        pts, prev_delta, conv, it = carry
+        return (it < max_iter) & jnp.any(~conv)
+
+    def body(carry):
+        pts, prev_delta, conv, it = carry
+        pts, prev_delta, conv = gn_step(pts, prev_delta, conv, it)
+        pts, prev_delta, conv = gn_step(pts, prev_delta, conv, it + 1)
+        return (pts, prev_delta, conv, it + 2)
 
     conv0 = ~good
     init = (
