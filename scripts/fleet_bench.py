@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Fleet-mode throughput: B vmapped VIO instances on one chip.
+"""Fleet-mode throughput: B VIO instances on one chip.
 
 Measures aggregate stereo frames/sec/chip for instance batches (offset
-sweeps / multi-UAV, BASELINE.json configs 4-5).  Usage:
+sweeps / multi-UAV, BASELINE.json configs 4-5) using the batch-hoisted-tier
+fleet step (parallel.fleet.make_fleet_step tiered=True).  Pass --plain to
+also run the round-2 plain-vmap baseline for comparison.  Usage:
 
-    python scripts/fleet_bench.py [B1 B2 ...]    # default 1 4 8 16
+    python scripts/fleet_bench.py [B1 B2 ...] [--plain]   # default 1 4 8
 """
 
 import os
@@ -20,7 +22,9 @@ from jax import lax
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [1, 4, 8, 16]
+    args = [a for a in sys.argv[1:]]
+    plain = "--plain" in args
+    sizes = [int(a) for a in args if not a.startswith("-")] or [1, 4, 8]
     n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
 
     try:
@@ -32,43 +36,46 @@ def main():
 
     import bench
     from uav_airvision_tpu.config import euroc_config
-    from uav_airvision_tpu.models.frontend.params import make_frontend_params
     from uav_airvision_tpu.models.msckf.state import make_params
-    from uav_airvision_tpu.models.vio import init_vio_state, vio_step
+    from uav_airvision_tpu.models.vio import init_vio_state
+    from uav_airvision_tpu.parallel.fleet import make_fleet_step
+    from uav_airvision_tpu.utils.precision import with_highest_precision
 
     cfg = euroc_config()
     frames, pb, source = bench.build_frames(cfg, n_frames)
     T = int(frames.timestamp.shape[0])
-    fparams = make_frontend_params(cfg)
     mparams = make_params(cfg)
     print(f"source={source} T={T}")
 
-    for B in sizes:
-        bframes = jax.tree.map(
-            lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]),
-            frames,
-        )
-        state = jax.vmap(
-            lambda i: init_vio_state(cfg, pb.gyro_bias, pb.acc_mean, mparams)
-        )(jnp.arange(B))
+    variants = [("tiered", True)] + ([("plain-vmap", False)] if plain else [])
+    for label, tiered in variants:
+        step = make_fleet_step(cfg, tiered=tiered)
+        for B in sizes:
+            bframes = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[:, None], (x.shape[0], B) + x.shape[1:]),
+                frames,
+            )
+            state = jax.vmap(
+                lambda i: init_vio_state(cfg, pb.gyro_bias, pb.acc_mean, mparams)
+            )(jnp.arange(B))
 
-        def run(state, bf):
-            def body(s, f):
-                s2, out = jax.vmap(
-                    lambda ss, ff: vio_step(ss, ff, fparams, mparams, cfg)
-                )(s, f)
-                return s2, out.p
-            return lax.scan(body, state, bf)
+            @with_highest_precision
+            @jax.jit
+            def run(state, bf):
+                def body(s, f):
+                    s2, out = step(s, f)
+                    return s2, out.p
+                return lax.scan(body, state, bf)
 
-        f = jax.jit(run)
-        out = f(state, bframes)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = f(state, bframes)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        print(f"B={B:3d}: {dt / T * 1000:8.2f} ms/step  "
-              f"{T * B / dt:8.1f} frames/sec/chip", flush=True)
+            out = run(state, bframes)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = run(state, bframes)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            print(f"{label:10s} B={B:3d}: {dt / T * 1000:8.2f} ms/step  "
+                  f"{T * B / dt:8.1f} frames/sec/chip aggregate", flush=True)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,8 @@ from ...utils import quaternion as quat
 from . import triangulation as tri
 from .propagation import propagate
 from .state import IMU_DIM, CamWindow, FeatureTable, FilterState, MsckfParams, reset_cov
-from .update import apply_update, feature_block, gating_test_batch
+from .update import (GATE_TIER, apply_update, feature_block, gating_test_batch,
+                     update_tiers)
 from ...utils.lax_helpers import dyn_update
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
@@ -245,7 +246,8 @@ def _count_lost_candidates(state: FilterState):
 
 
 def _remove_lost_once(state: FilterState, params: MsckfParams, config: Config,
-                      row_cap, L):
+                      row_cap, L, update_tier: str = "dynamic",
+                      gate_tier: str = "dynamic"):
     cap = config.capacity
     table = state.features
     cams = state.cams
@@ -311,7 +313,7 @@ def _remove_lost_once(state: FilterState, params: MsckfParams, config: Config,
     dof = jnp.sum(table.obs_mask[sel].astype(jnp.int32), axis=1) - 1
     gate_ok = gating_test_batch(
         H_blk, r_blk, jnp.where(proc, rows_f, 0), state.cov,
-        params.obs_noise, params.chi2_table, dof,
+        params.obs_noise, params.chi2_table, dof, static_tier=gate_tier,
     )
 
     include = proc & gate_ok
@@ -339,7 +341,8 @@ def _remove_lost_once(state: FilterState, params: MsckfParams, config: Config,
     any_update = jnp.any(include)
 
     def do_update(s):
-        return apply_update(s, params, H_buf, r_buf, rows_total)
+        return apply_update(s, params, H_buf, r_buf, rows_total,
+                            static_tier=update_tier)
 
     def no_update(s):
         return s, jnp.zeros((), bool)
@@ -426,153 +429,153 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
 
 
 def _prune_sized(state: FilterState, params: MsckfParams, config: Config,
-                 rm, two, n_two, Kp):
+                 rm, two, n_two, Kp, update_tier: str = "dynamic"):
     cap = config.capacity
-    if True:  # preserved indentation of the original body
-        table = state.features
-        cams = state.cams
-        dtype = state.cov.dtype
-        M, N = table.obs_mask.shape
-        D = cap.state_dim
-        r0, r1 = rm[0], rm[1]
-        prune_overflow = n_two > Kp
-        order_sel = jnp.argsort(jnp.where(two, table.seq, INT32_MAX))
-        sel = order_sel[:Kp]
-        sel_two = two[sel]
+    table = state.features
+    cams = state.cams
+    dtype = state.cov.dtype
+    M, N = table.obs_mask.shape
+    D = cap.state_dim
+    r0, r1 = rm[0], rm[1]
+    prune_overflow = n_two > Kp
+    order_sel = jnp.argsort(jnp.where(two, table.seq, INT32_MAX))
+    sel = order_sel[:Kp]
+    sel_two = two[sel]
 
-        # triangulate uninitialized selected features over ALL observations
-        # (inactive batch elements skip the LM loops)
-        motion_ok, new_pos, tri_ok = jax.vmap(
-            lambda slot, act: _triangulate_one(
-                state, params, config, slot, table.obs_mask[slot], act)
-        )(sel, sel_two & ~table.initialized[sel])
-        need_init = sel_two & ~table.initialized[sel]
-        init_fail = need_init & (~motion_ok | ~tri_ok)
-        init_done = need_init & motion_ok & tri_ok
+    # triangulate uninitialized selected features over ALL observations
+    # (inactive batch elements skip the LM loops)
+    motion_ok, new_pos, tri_ok = jax.vmap(
+        lambda slot, act: _triangulate_one(
+            state, params, config, slot, table.obs_mask[slot], act)
+    )(sel, sel_two & ~table.initialized[sel])
+    need_init = sel_two & ~table.initialized[sel]
+    init_fail = need_init & (~motion_ok | ~tri_ok)
+    init_done = need_init & motion_ok & tri_ok
 
-        table = table._replace(
-            position=table.position.at[sel].set(
-                jnp.where(init_done[:, None], new_pos, table.position[sel]),
-                mode="drop"),
-            initialized=table.initialized.at[sel].set(
-                table.initialized[sel] | init_done, mode="drop"),
-        )
-        state = state._replace(features=table)
+    table = table._replace(
+        position=table.position.at[sel].set(
+            jnp.where(init_done[:, None], new_pos, table.position[sel]),
+            mode="drop"),
+        initialized=table.initialized.at[sel].set(
+            table.initialized[sel] | init_done, mode="drop"),
+    )
+    state = state._replace(features=table)
 
-        proc_sel = sel_two & ~init_fail  # (Kp,) selected features to process
+    proc_sel = sel_two & ~init_fail  # (Kp,) selected features to process
 
-        # Jacobian blocks over the 2 involved cameras only.
-        cq = cams.q[rm]
-        cp = cams.p[rm]
-        cqn = cams.q_null[rm]
-        cpn = cams.p_null[rm]
+    # Jacobian blocks over the 2 involved cameras only.
+    cq = cams.q[rm]
+    cp = cams.p[rm]
+    cqn = cams.q_null[rm]
+    cpn = cams.p_null[rm]
 
-        def block_one(slot, is_proc):
-            def run(_):
-                obs2 = table.obs[slot][rm]
-                mask2 = table.obs_mask[slot][rm]
-                H, r, rows = feature_block(
-                    cq, cp, cqn, cpn, obs2, mask2, table.position[slot],
-                    state.gravity, params.R_cam0_cam1, params.t_cam0_cam1, D,
-                )
-                # columns land at the involved cameras' true positions
-                Hc = jnp.zeros((5, D), dtype)
-                Hc = Hc + dyn_update(
-                    jnp.zeros((5, D), dtype), H[:, IMU_DIM : IMU_DIM + 6],
-                    0, IMU_DIM + 6 * r0,
-                )
-                Hc = Hc + dyn_update(
-                    jnp.zeros((5, D), dtype), H[:, IMU_DIM + 6 : IMU_DIM + 12],
-                    0, IMU_DIM + 6 * r1,
-                )
-                return Hc, r, rows
+    def block_one(slot, is_proc):
+        def run(_):
+            obs2 = table.obs[slot][rm]
+            mask2 = table.obs_mask[slot][rm]
+            H, r, rows = feature_block(
+                cq, cp, cqn, cpn, obs2, mask2, table.position[slot],
+                state.gravity, params.R_cam0_cam1, params.t_cam0_cam1, D,
+            )
+            # columns land at the involved cameras' true positions
+            Hc = jnp.zeros((5, D), dtype)
+            Hc = Hc + dyn_update(
+                jnp.zeros((5, D), dtype), H[:, IMU_DIM : IMU_DIM + 6],
+                0, IMU_DIM + 6 * r0,
+            )
+            Hc = Hc + dyn_update(
+                jnp.zeros((5, D), dtype), H[:, IMU_DIM + 6 : IMU_DIM + 12],
+                0, IMU_DIM + 6 * r1,
+            )
+            return Hc, r, rows
 
-            def skip(_):
-                return (
-                    jnp.zeros((5, D), dtype),
-                    jnp.zeros((5,), dtype),
-                    jnp.zeros((), jnp.int32),
-                )
+        def skip(_):
+            return (
+                jnp.zeros((5, D), dtype),
+                jnp.zeros((5,), dtype),
+                jnp.zeros((), jnp.int32),
+            )
 
-            return lax.cond(is_proc, run, skip, None)
+        return lax.cond(is_proc, run, skip, None)
 
-        H_blk, r_blk, rows_f = jax.vmap(block_one)(sel, proc_sel)
-        gate_ok = gating_test_batch(
-            H_blk, r_blk, jnp.where(proc_sel, rows_f, 0), state.cov,
-            params.obs_noise, params.chi2_table,
-            jnp.full((Kp,), 2, jnp.int32),
-        )
+    H_blk, r_blk, rows_f = jax.vmap(block_one)(sel, proc_sel)
+    gate_ok = gating_test_batch(
+        H_blk, r_blk, jnp.where(proc_sel, rows_f, 0), state.cov,
+        params.obs_noise, params.chi2_table,
+        jnp.full((Kp,), 2, jnp.int32),
+    )
 
-        # sel is already in map (insertion-seq) order, so stacking order is
-        # the reference's iteration order
-        include = proc_sel & gate_ok
-        rows_inc = jnp.where(include, rows_f, 0)
-        prefix = jnp.cumsum(rows_inc) - rows_inc
-        rows_total = jnp.sum(rows_inc)
+    # sel is already in map (insertion-seq) order, so stacking order is
+    # the reference's iteration order
+    include = proc_sel & gate_ok
+    rows_inc = jnp.where(include, rows_f, 0)
+    prefix = jnp.cumsum(rows_inc) - rows_inc
+    rows_total = jnp.sum(rows_inc)
 
-        # single scatter-add (rows past a block's true height are exact zeros)
-        R_BUF = cap.max_prune_rows
-        row_idx = jnp.where(
-            include[:, None], prefix[:, None] + jnp.arange(5)[None, :], R_BUF
-        ).reshape(-1)
-        H_buf = jnp.zeros((R_BUF, D), dtype).at[row_idx].add(
-            H_blk.reshape(Kp * 5, D), mode="drop"
-        )
-        r_buf = jnp.zeros((R_BUF,), dtype).at[row_idx].add(
-            r_blk.reshape(Kp * 5), mode="drop"
-        )
+    # single scatter-add (rows past a block's true height are exact zeros)
+    R_BUF = cap.max_prune_rows
+    row_idx = jnp.where(
+        include[:, None], prefix[:, None] + jnp.arange(5)[None, :], R_BUF
+    ).reshape(-1)
+    H_buf = jnp.zeros((R_BUF, D), dtype).at[row_idx].add(
+        H_blk.reshape(Kp * 5, D), mode="drop"
+    )
+    r_buf = jnp.zeros((R_BUF,), dtype).at[row_idx].add(
+        r_blk.reshape(Kp * 5), mode="drop"
+    )
 
-        any_update = jnp.any(include)
-        state, warn = lax.cond(
-            any_update,
-            lambda s: apply_update(s, params, H_buf, r_buf, rows_total),
-            lambda s: (s, jnp.zeros((), bool)),
-            state,
-        )
-        warn = warn | prune_overflow
+    any_update = jnp.any(include)
+    state, warn = lax.cond(
+        any_update,
+        lambda s: apply_update(s, params, H_buf, r_buf, rows_total,
+                               static_tier=update_tier),
+        lambda s: (s, jnp.zeros((), bool)),
+        state,
+    )
+    warn = warn | prune_overflow
 
-        # delete involved observations for every feature (reference deletes
-        # them whether or not the update used them)
-        table = state.features
-        cams = state.cams  # rebind: apply_update corrected the window poses
-        obs_mask = table.obs_mask.at[:, r0].set(False).at[:, r1].set(False)
+    # delete involved observations for every feature (reference deletes
+    # them whether or not the update used them)
+    table = state.features
+    cams = state.cams  # rebind: apply_update corrected the window poses
+    obs_mask = table.obs_mask.at[:, r0].set(False).at[:, r1].set(False)
 
-        # compact the camera window + covariance: keep all slots except r0,r1
-        keep = jnp.where(
-            (jnp.arange(N) != r0) & (jnp.arange(N) != r1), jnp.arange(N), N
-        )
-        keep = jnp.sort(keep)[: N]  # kept positions ascending, pad N at tail
-        keep_safe = jnp.clip(keep, 0, N - 1)
-        live_new = jnp.arange(N) < (cams.count - 2)
+    # compact the camera window + covariance: keep all slots except r0,r1
+    keep = jnp.where(
+        (jnp.arange(N) != r0) & (jnp.arange(N) != r1), jnp.arange(N), N
+    )
+    keep = jnp.sort(keep)[: N]  # kept positions ascending, pad N at tail
+    keep_safe = jnp.clip(keep, 0, N - 1)
+    live_new = jnp.arange(N) < (cams.count - 2)
 
-        unit_q = jnp.zeros((4,), dtype).at[3].set(1.0)
-        cams = CamWindow(
-            sid=jnp.where(live_new, cams.sid[keep_safe], -1),
-            q=jnp.where(live_new[:, None], cams.q[keep_safe], unit_q),
-            p=jnp.where(live_new[:, None], cams.p[keep_safe], 0.0),
-            q_null=jnp.where(live_new[:, None], cams.q_null[keep_safe], unit_q),
-            p_null=jnp.where(live_new[:, None], cams.p_null[keep_safe], 0.0),
-            timestamp=jnp.where(live_new, cams.timestamp[keep_safe], 0.0),
-            count=cams.count - 2,
-        )
+    unit_q = jnp.zeros((4,), dtype).at[3].set(1.0)
+    cams = CamWindow(
+        sid=jnp.where(live_new, cams.sid[keep_safe], -1),
+        q=jnp.where(live_new[:, None], cams.q[keep_safe], unit_q),
+        p=jnp.where(live_new[:, None], cams.p[keep_safe], 0.0),
+        q_null=jnp.where(live_new[:, None], cams.q_null[keep_safe], unit_q),
+        p_null=jnp.where(live_new[:, None], cams.p_null[keep_safe], 0.0),
+        timestamp=jnp.where(live_new, cams.timestamp[keep_safe], 0.0),
+        count=cams.count - 2,
+    )
 
-        # shift observation columns with the window
-        obs = jnp.where(
-            live_new[None, :, None], table.obs[:, keep_safe, :], 0.0
-        )
-        obs_mask = jnp.where(live_new[None, :], obs_mask[:, keep_safe], False)
-        table = table._replace(obs=obs, obs_mask=obs_mask)
+    # shift observation columns with the window
+    obs = jnp.where(
+        live_new[None, :, None], table.obs[:, keep_safe, :], 0.0
+    )
+    obs_mask = jnp.where(live_new[None, :], obs_mask[:, keep_safe], False)
+    table = table._replace(obs=obs, obs_mask=obs_mask)
 
-        # covariance permutation: state row index map
-        cam_rows = IMU_DIM + 6 * keep_safe[:, None] + jnp.arange(6)[None, :]
-        idx = jnp.concatenate([jnp.arange(IMU_DIM), cam_rows.reshape(-1)])
-        row_live = jnp.concatenate(
-            [jnp.ones(IMU_DIM, bool), jnp.repeat(live_new, 6)]
-        )
-        P = state.cov[idx][:, idx]
-        P = jnp.where(row_live[:, None] & row_live[None, :], P, 0.0)
+    # covariance permutation: state row index map
+    cam_rows = IMU_DIM + 6 * keep_safe[:, None] + jnp.arange(6)[None, :]
+    idx = jnp.concatenate([jnp.arange(IMU_DIM), cam_rows.reshape(-1)])
+    row_live = jnp.concatenate(
+        [jnp.ones(IMU_DIM, bool), jnp.repeat(live_new, 6)]
+    )
+    P = state.cov[idx][:, idx]
+    P = jnp.where(row_live[:, None] & row_live[None, :], P, 0.0)
 
-        return state._replace(cams=cams, features=table, cov=P), warn
+    return state._replace(cams=cams, features=table, cov=P), warn
 
 
 # ---------------------------------------------------------------------------
@@ -679,3 +682,212 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
         return state, out
 
     return lax.cond(frame.active, run, skip, state)
+
+
+# ---------------------------------------------------------------------------
+# fleet-batched step: size tiers hoisted OUTSIDE vmap
+# ---------------------------------------------------------------------------
+#
+# Under vmap every lax.cond lowers to a select, so BOTH branches execute for
+# the whole batch — the round-2 fleet bench measured the backend paying its
+# rare full-QR tier (1680x141) every frame because of exactly this
+# (PARITY.md r2).  The fleet step below therefore computes batch-level
+# scalar predicates (max lost-candidate count, row-count upper bounds, any
+# prune trigger) and picks ONE statically-tiered vmapped variant with
+# lax.conds that live OUTSIDE the vmap, where they really branch.
+
+SMALL_LOST = 16  # small remove_lost tier (matches remove_lost_features)
+SMALL_PRUNE = 32  # small prune tier (matches prune_cam_states)
+
+
+def _lost_rows_bound(state: FilterState):
+    """(sum, max) upper bounds of this frame's lost-feature update rows,
+    computed without building any measurement block: each lost candidate
+    contributes at most 4*n_obs - 3 rows."""
+    table = state.features
+    M = table.fid.shape[0]
+    cslot = state.cams.count - 1
+    seen_now = jnp.take_along_axis(
+        table.obs_mask, jnp.full((M, 1), cslot), axis=1)[:, 0]
+    obs_count = jnp.sum(table.obs_mask.astype(jnp.int32), axis=1)
+    cand = table.valid & ~seen_now & (obs_count >= 3)
+    rows = jnp.where(cand, 4 * obs_count - 3, 0)
+    return jnp.sum(rows), jnp.max(rows)
+
+
+def _prune_trigger_count(state: FilterState, config: Config):
+    """(trigger, n_two): whether this instance prunes this frame, and how
+    many features see both doomed camera states (0 when not triggering)."""
+    trigger = state.cams.count >= config.filter.max_cam_state_size
+
+    def count(s):
+        table = s.features
+        M = table.obs_mask.shape[0]
+        rm = _find_redundant(s)
+        inv0 = table.obs_mask[jnp.arange(M)[:, None], rm[None, :]]
+        k_inv = jnp.sum(inv0.astype(jnp.int32), axis=1) * table.valid.astype(jnp.int32)
+        return jnp.sum((table.valid & (k_inv == 2)).astype(jnp.int32)).astype(jnp.int32)
+
+    n_two = lax.cond(trigger, count,
+                     lambda s: jnp.zeros((), jnp.int32), state)
+    return trigger, n_two
+
+
+def _prune_one(state: FilterState, params: MsckfParams, config: Config,
+               trigger, Kp: int, update_tier: str):
+    """Per-instance prune with a static tier; instances whose window is not
+    full keep their state (select, not branch — this runs under vmap)."""
+    table = state.features
+    M = table.obs_mask.shape[0]
+    rm = _find_redundant(state)
+    inv0 = table.obs_mask[jnp.arange(M)[:, None], rm[None, :]]
+    k_inv = jnp.sum(inv0.astype(jnp.int32), axis=1) * table.valid.astype(jnp.int32)
+    two = table.valid & (k_inv == 2)
+    n_two = jnp.sum(two.astype(jnp.int32))
+    pruned, warn = _prune_sized(state, params, config, rm, two, n_two, Kp,
+                                update_tier=update_tier)
+    keep = jax.tree.map(lambda a, b: jnp.where(trigger, a, b), pruned, state)
+    return keep, warn & trigger
+
+
+def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
+                       params: MsckfParams, config: Config):
+    """Batched ``backend_step`` over a leading instance axis with
+    batch-hoisted size tiers.  Semantically identical to
+    ``vmap(backend_step)`` (same masked math; tier choices only ever widen),
+    but the steady-state cost is the SMALL tier once, not every tier
+    summed."""
+    cap = config.capacity
+    T1, T2 = update_tiers(cap.state_dim)
+
+    def seg1(state, frame):
+        imu = state.imu._replace(
+            timestamp=jnp.where(state.started, state.imu.timestamp,
+                                frame.timestamp)
+        )
+        state = state._replace(imu=imu, started=jnp.ones((), bool))
+        state = propagate(state, params, frame.imu_t, frame.imu_w,
+                          frame.imu_a, frame.imu_mask)
+        state = augment_state(state, frame.timestamp)
+        state = add_observations(state, frame.feat_ids, frame.feat_uv,
+                                 frame.feat_mask)
+        return state
+
+    rstate = jax.vmap(seg1)(bstate, bframe)
+
+    # ---- remove_lost: one statically-tiered variant for the whole batch ---
+    n_cand = jax.vmap(_count_lost_candidates)(rstate)
+    rows_sum, rows_max = jax.vmap(_lost_rows_bound)(rstate)
+    cap1500 = jnp.asarray(1500, jnp.int32)
+    lean_ok = ((jnp.max(n_cand) <= SMALL_LOST)
+               & (jnp.max(rows_max) <= GATE_TIER)
+               & (jnp.max(rows_sum) <= T1))
+    mid_ok = (jnp.max(n_cand) <= SMALL_LOST) & (jnp.max(rows_sum) <= T2)
+
+    def rl(L, update_tier, gate_tier):
+        def run(st):
+            return jax.vmap(
+                lambda s: _remove_lost_once(s, params, config, cap1500, L,
+                                            update_tier=update_tier,
+                                            gate_tier=gate_tier)
+            )(st)
+        return run
+
+    rstate, warn1, n_over1, rows1 = lax.cond(
+        lean_ok, rl(SMALL_LOST, "t1", "small"),
+        lambda st: lax.cond(
+            mid_ok, rl(SMALL_LOST, "t2", "full"),
+            rl(cap.max_lost_per_frame, "full", "full"), st),
+        rstate,
+    )
+
+    def second(st):
+        st2, w2, n2, _ = jax.vmap(
+            lambda s, r1: _remove_lost_once(
+                s, params, config, (1500 - r1).astype(jnp.int32),
+                cap.max_lost_per_frame, update_tier="full", gate_tier="full")
+        )(st, rows1)
+        return st2, w2, n2
+
+    def skip2(st):
+        B = n_over1.shape[0]
+        return st, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32)
+
+    rstate, warn2, n_over2 = lax.cond(
+        jnp.any(n_over1 > 0), second, skip2, rstate)
+    warn_lost = warn1 | warn2
+
+    # ---- prune: hoisted trigger + tier ------------------------------------
+    trigger, n_two = jax.vmap(
+        lambda s: _prune_trigger_count(s, config))(rstate)
+    prune_small = jnp.max(n_two) <= SMALL_PRUNE
+
+    def pr(Kp, update_tier):
+        def run(st):
+            return jax.vmap(
+                lambda s, t: _prune_one(s, params, config, t, Kp, update_tier)
+            )(st, trigger)
+        return run
+
+    def skip_pr(st):
+        return st, jnp.zeros(trigger.shape, bool)
+
+    rstate, warn3 = lax.cond(
+        jnp.any(trigger),
+        lambda st: lax.cond(
+            prune_small, pr(SMALL_PRUNE, "t2"),
+            pr(min(cap.max_prune_feats, cap.max_map_features), "full"), st),
+        skip_pr,
+        rstate,
+    )
+
+    # ---- outputs, online reset, per-instance active select ----------------
+    def finish(state, frame, w):
+        out = StepOutput(
+            timestamp=frame.timestamp,
+            q=state.imu.q,
+            p=state.imu.p,
+            v=state.imu.v,
+            active=jnp.ones((), bool),
+            warn_large_update=w,
+            did_reset=jnp.zeros((), bool),
+            n_cams=state.cams.count,
+            n_features=jnp.sum(
+                state.features.valid.astype(jnp.int32)).astype(jnp.int32),
+            n_lost_overflow=jnp.zeros((), jnp.int32),
+            R_imu_cam0=state.imu.R_imu_cam0,
+            t_cam0_imu=state.imu.t_cam0_imu,
+        )
+        state, did_reset = online_reset(state, params, config)
+        return state, out._replace(did_reset=did_reset)
+
+    rstate, rout = jax.vmap(finish)(rstate, bframe, warn_lost | warn3)
+    rout = rout._replace(n_lost_overflow=n_over2)
+
+    # inactive instances keep their previous state and publish the skip row
+    def inactive_out(state, frame):
+        dtype = state.cov.dtype
+        return StepOutput(
+            timestamp=frame.timestamp,
+            q=jnp.zeros(4, dtype).at[3].set(1.0),
+            p=jnp.zeros(3, dtype),
+            v=jnp.zeros(3, dtype),
+            active=jnp.zeros((), bool),
+            warn_large_update=jnp.zeros((), bool),
+            did_reset=jnp.zeros((), bool),
+            n_cams=state.cams.count,
+            n_features=jnp.zeros((), jnp.int32),
+            n_lost_overflow=jnp.zeros((), jnp.int32),
+            R_imu_cam0=state.imu.R_imu_cam0,
+            t_cam0_imu=state.imu.t_cam0_imu,
+        )
+
+    iout = jax.vmap(inactive_out)(bstate, bframe)
+    act = bframe.active
+
+    def sel(a, b):
+        return jnp.where(jnp.reshape(act, act.shape + (1,) * (a.ndim - 1)), a, b)
+
+    state_out = jax.tree.map(sel, rstate, bstate)
+    out = jax.tree.map(sel, rout, iout)
+    return state_out, out

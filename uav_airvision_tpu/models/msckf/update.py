@@ -161,27 +161,24 @@ def feature_block(cams_q, cams_p, cams_qn, cams_pn, obs, obs_mask, p_w,
     return H_proj, r_proj, rows_true
 
 
-def gating_test(H, r, rows_true, cov, obs_noise, chi2_table, dof):
-    """Mahalanobis gate (reference gating_test, src/msckf.py:604-612).
-
-    H may contain zero padding rows; they contribute sigma^2 on the diagonal
-    of S and 0 in r, which leaves gamma unchanged (block-diagonal argument).
-    """
-    S = H @ cov @ H.T + obs_noise * jnp.eye(H.shape[0], dtype=H.dtype)
-    # S is SPD by construction: Cholesky + triangular solve beats LU on TPU
-    Lc = jnp.linalg.cholesky(S)
-    y = jax.scipy.linalg.solve_triangular(Lc, r, lower=True)
-    gamma = y @ y
-    return gamma < chi2_table[jnp.clip(dof, 0, chi2_table.shape[0] - 1)]
+GATE_TIER = 32  # small-tier prefix height of the batched gating test
 
 
-def gating_test_batch(H, r, rows_true, cov, obs_noise, chi2_table, dof):
+def gating_test_batch(H, r, rows_true, cov, obs_noise, chi2_table, dof,
+                      static_tier: str = "dynamic"):
     """Batched, size-tiered Mahalanobis gate over per-feature blocks.
 
     H: (B, R, D), r: (B, R), rows_true/dof: (B,).  Zero padding rows leave
     gamma unchanged, so when every block's true rows fit in a small prefix
     the (B, R, R) Cholesky shrinks to (B, TG, TG) — the common case (short
     feature tracks) by a wide margin.
+
+    ``static_tier``: "dynamic" picks the tier with a lax.cond at run time
+    (right for the non-vmapped scan/streaming path, where cond skips the
+    untaken branch); "small"/"full" force one tier at trace time — the fleet
+    path hoists the decision to a batch-level cond OUTSIDE vmap, because
+    under vmap a cond lowers to select and both tiers would execute
+    (VERDICT r2: the measured fleet anti-scaling).
     """
 
     def gamma_of(Hs, rs):
@@ -193,9 +190,11 @@ def gating_test_batch(H, r, rows_true, cov, obs_noise, chi2_table, dof):
         return jnp.sum(y * y, axis=-1)
 
     R = H.shape[1]
-    TG = 32
-    if R <= TG:
+    TG = GATE_TIER
+    if R <= TG or static_tier == "full":
         gamma = gamma_of(H, r)
+    elif static_tier == "small":
+        gamma = gamma_of(H[:, :TG, :], r[:, :TG])
     else:
         gamma = lax.cond(
             jnp.max(rows_true) <= TG,
@@ -207,8 +206,14 @@ def gating_test_batch(H, r, rows_true, cov, obs_noise, chi2_table, dof):
     return gamma < thresh
 
 
+def update_tiers(D: int):
+    """The static row-count tiers of ``apply_update``: (T1, T2)."""
+    T1 = D + 7 - (D + 7) % 8  # one-Cholesky-of-D-ish tier
+    return T1, 2 * D
+
+
 def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
-                 rows_true=None):
+                 rows_true=None, static_tier: str = "dynamic"):
     """EKF update from the stacked (zero-padded) measurement buffer
     (reference measurement_update, src/msckf.py:548-602).
 
@@ -217,7 +222,9 @@ def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
     given, the QR is size-tiered: zero padding rows do not change R or Q^T r,
     so factorizing a prefix that covers all true rows is exact — and in steady
     state the buffer is mostly padding, which makes the small tier the common
-    fast path.
+    fast path.  ``static_tier`` in {"t1", "t2", "full"} forces one tier at
+    trace time (the fleet path hoists the choice outside vmap); "dynamic"
+    keeps the run-time lax.cond.
     Non-Joseph covariance update (P <- (I-KH)P) preserved deliberately.
     """
     dtype = H_buf.dtype
@@ -234,25 +241,30 @@ def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
         K = jax.scipy.linalg.cho_solve((Lc, True), H @ P).T  # (D, m)
         return K @ r, K @ H  # delta, K H
 
-    if rows_true is None or H_buf.shape[0] <= 2 * D:
+    T1, T2 = update_tiers(D)
+
+    def tier1(_):
+        return _gain(H_buf[:T1], r_buf[:T1])
+
+    def tier2(_):
+        return _gain(H_buf[:T2], r_buf[:T2])
+
+    def full(_):
+        Q, R = jnp.linalg.qr(H_buf, mode="reduced")
+        return _gain(R, Q.T @ r_buf)
+
+    if rows_true is None or H_buf.shape[0] <= T2:
         delta, KH = _gain(H_buf, r_buf)
+    elif static_tier == "t1":
+        delta, KH = tier1(None)
+    elif static_tier == "t2":
+        delta, KH = tier2(None)
+    elif static_tier == "full":
+        delta, KH = full(None)
     else:
         # Tiered: the buffer is mostly padding in steady state.  The small
         # tiers use the rows directly (the reference's no-QR branch, exact);
         # the rare overflow tier compresses with thin QR first.
-        T1 = D + 7 - (D + 7) % 8  # one-Cholesky-of-D-ish tier
-        T2 = 2 * D
-
-        def tier1(_):
-            return _gain(H_buf[:T1], r_buf[:T1])
-
-        def tier2(_):
-            return _gain(H_buf[:T2], r_buf[:T2])
-
-        def full(_):
-            Q, R = jnp.linalg.qr(H_buf, mode="reduced")
-            return _gain(R, Q.T @ r_buf)
-
         delta, KH = lax.cond(
             rows_true <= T1, tier1,
             lambda _: lax.cond(rows_true <= T2, tier2, full, None), None,

@@ -77,6 +77,50 @@ def vio_step(state: VioState, frame: VioFrame, fparams: FrontendParams,
     return VioState(frontend=fe_state, filter=filt), out
 
 
+def vio_step_fleet(bstate: VioState, bframe: VioFrame, fparams: FrontendParams,
+                   mparams: MsckfParams, config: Config):
+    """Batched VIO step over a leading instance axis, with every size-tier /
+    branch decision hoisted to batch-level lax.conds OUTSIDE the vmap (under
+    vmap a cond lowers to select and both branches execute — the round-2
+    fleet anti-scaling).  Semantically equivalent to ``vmap(vio_step)``.
+
+    Fleet configs should set ``frontend.stereo_seed_fallback=False`` (or
+    ``stereo_seeded=False``) so the stereo fast path does not carry its
+    per-instance fallback cond into the vmap.
+    """
+    from .frontend.pipeline import frontend_step as _fe
+    from .msckf.step import backend_step_fleet
+
+    def fe(assume_init):
+        def run(args):
+            st, c0, c1, w, dt = args
+            return jax.vmap(
+                lambda s, a, b, ww, dd: _fe(s, a, b, ww, dd, fparams, config,
+                                            assume_initialized=assume_init)
+            )(st, c0, c1, w, dt)
+        return run
+
+    fe_args = (bstate.frontend, bframe.cam0, bframe.cam1, bframe.fe_mean_w,
+               bframe.fe_dt)
+    fe_state, fe_out = lax.cond(
+        jnp.all(bstate.frontend.initialized), fe(True), fe(False), fe_args)
+
+    dtype = bstate.filter.cov.dtype
+    backend_frame = FrameInput(
+        timestamp=bframe.timestamp.astype(dtype),
+        imu_t=bframe.imu_t.astype(dtype),
+        imu_w=bframe.imu_w.astype(dtype),
+        imu_a=bframe.imu_a.astype(dtype),
+        imu_mask=bframe.imu_mask,
+        feat_ids=fe_out.ids,
+        feat_uv=fe_out.uv.astype(dtype),
+        feat_mask=fe_out.mask,
+        active=bframe.active,
+    )
+    filt, out = backend_step_fleet(bstate.filter, backend_frame, mparams, config)
+    return VioState(frontend=fe_state, filter=filt), out
+
+
 def make_jitted_step(config: Config, fparams=None, mparams=None):
     fparams = fparams or make_frontend_params(config)
     mparams = mparams or make_params(config)

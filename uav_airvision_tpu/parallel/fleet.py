@@ -27,7 +27,23 @@ from ..config import Config
 from ..utils.precision import with_highest_precision
 from ..models.frontend.params import make_frontend_params
 from ..models.msckf.state import make_params
-from ..models.vio import VioFrame, VioState, init_vio_state, vio_step
+from ..models.vio import (VioFrame, VioState, init_vio_state, vio_step,
+                          vio_step_fleet)
+
+
+def fleet_config(config: Config) -> Config:
+    """Per-instance run-time branches cost double under vmap (cond lowers to
+    select); drop the stereo-seed fallback cond for fleet runs.  Starvation
+    recovery then leans on the rotation-projected seeds at the truncated
+    pyramid depth — fleets that need the exact single-instance recovery
+    behavior can set ``stereo_seeded=False`` instead."""
+    import dataclasses
+    if not config.frontend.stereo_seeded or not config.frontend.stereo_seed_fallback:
+        return config
+    return dataclasses.replace(
+        config,
+        frontend=dataclasses.replace(config.frontend, stereo_seed_fallback=False),
+    )
 
 
 def init_fleet_state(config: Config, gyro_bias, acc_mean, n: int) -> VioState:
@@ -40,12 +56,25 @@ def init_fleet_state(config: Config, gyro_bias, acc_mean, n: int) -> VioState:
     return jax.vmap(one)(jnp.asarray(gyro_bias), jnp.asarray(acc_mean))
 
 
-def make_fleet_step(config: Config):
+def make_fleet_step(config: Config, tiered: bool = True):
     """Returns a jitted step over a leading instance axis:
     step(batched_state, batched_frame) -> (batched_state, batched_out).
-    Shardings propagate from the input placement (see place_fleet)."""
+    Shardings propagate from the input placement (see place_fleet).
+
+    ``tiered=True`` (default) uses the batch-hoisted-tier step
+    (``vio_step_fleet``): size-tier and branch decisions run as batch-level
+    conds outside the vmap.  ``tiered=False`` is the plain vmapped
+    single-instance step (the round-2 measured-anti-scaling baseline, kept
+    for comparison)."""
+    config = fleet_config(config) if tiered else config
     fparams = make_frontend_params(config)
     mparams = make_params(config)
+
+    if tiered:
+        def step(bstate, bframe):
+            return vio_step_fleet(bstate, bframe, fparams, mparams, config)
+
+        return with_highest_precision(jax.jit(step))
 
     def step(state, frame):
         return vio_step(state, frame, fparams, mparams, config)
@@ -68,20 +97,25 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "fleet") -> Mesh:
 
 def run_fleet(config: Config, frames: VioFrame, gyro_bias, acc_mean,
               mesh: Optional[Mesh] = None, state: VioState = None,
-              axis: str = "fleet"):
+              axis: str = "fleet", tiered: bool = True):
     """Scan the fleet step over time: every leaf of ``frames`` has shape
     (T, n_instances, ...).  State and frames are sharded over the mesh's
     fleet axis; the scan keeps all compute on-device."""
     n = frames.timestamp.shape[1]
-    fparams = make_frontend_params(config)
-    mparams = make_params(config)
     if state is None:
         state = init_fleet_state(config, gyro_bias, acc_mean, n)
+    config = fleet_config(config) if tiered else config
+    fparams = make_frontend_params(config)
+    mparams = make_params(config)
 
-    def step(s, f):
-        return vio_step(s, f, fparams, mparams, config)
+    if tiered:
+        def vstep(s, f):
+            return vio_step_fleet(s, f, fparams, mparams, config)
+    else:
+        def step(s, f):
+            return vio_step(s, f, fparams, mparams, config)
 
-    vstep = jax.vmap(step)
+        vstep = jax.vmap(step)
 
     @with_highest_precision
     @jax.jit
