@@ -77,8 +77,16 @@ class ImageProcessor:
         self._ptr_t = hi
         # reference truncates its buffer at the consumed pointer
         # (imu_processor.py:66); without this the buffer grows without bound
-        # and the window scan above goes O(T^2) over a long stream
-        self.imu_buffer = [m for m in self.imu_buffer if m[0] >= hi]
+        # and the window scan above goes O(T^2) over a long stream.  Prefix
+        # deletion (not a rebuild-and-rebind): an imu thread appending
+        # concurrently only touches the END of the list.
+        k = 0
+        for m in self.imu_buffer:
+            if m[0] >= hi:
+                break
+            k += 1
+        if k:
+            del self.imu_buffer[:k]
         return mean, curr_t - self.prev_t
 
     def stereo_callback(self, stereo_msg):

@@ -178,7 +178,17 @@ class VIO:
                 out_t[j], out_w[j], out_a[j], out_m[j] = t, w, a, True
                 j += 1
         self._be_ptr_t = frame_t
-        self.imu_buffer = [m for m in self.imu_buffer if m[0] > frame_t - 0.011]
+        # Prefix deletion, not list rebuild: the imu thread appends to the
+        # END of this list concurrently, and `del buf[:k]` only touches the
+        # prefix (a rebuild-and-rebind would silently drop any message
+        # appended between the comprehension and the rebind).
+        k = 0
+        for (t, _, _) in self.imu_buffer:
+            if t > frame_t - 0.011:
+                break
+            k += 1
+        if k:
+            del self.imu_buffer[:k]
         return out_t, out_w, out_a, out_m
 
     def _process_img(self):
@@ -207,7 +217,15 @@ class VIO:
                     self.config, self.mparams,
                     self.gyro_bias, self.acc_mean)),
             )
-            self.imu_buffer = [m for m in self.imu_buffer if m[0] >= t]
+            # prefix deletion: safe against the imu thread's concurrent
+            # appends (see _backend_imu_slice)
+            k = 0
+            for (mt, _, _) in self.imu_buffer:
+                if mt >= t:
+                    break
+                k += 1
+            if k:
+                del self.imu_buffer[:k]
             self._started = True
         if active:
             imu_t, imu_w, imu_a, imu_m = self._backend_imu_slice(t)
@@ -289,7 +307,9 @@ class VIO:
 
 def _np_quat_to_rotation(q):
     """JPL quaternion [x y z w] -> rotation matrix, NumPy (publish path must
-    not dispatch device ops; mirrors utils.quaternion.to_rotation)."""
+    not dispatch device ops; mirrors utils.quaternion.to_rotation, including
+    its normalization — a filter quaternion can drift off unit norm)."""
+    q = q / np.linalg.norm(q)
     x, y, z, w = q
     return np.array([
         [1 - 2 * (y * y + z * z), 2 * (x * y + z * w), 2 * (x * z - y * w)],
