@@ -33,6 +33,8 @@ def run_synthetic_suite(duration, csv_path, seeds=(7, 13)):
 
     from uav_airvision_tpu.config import euroc_config
     from uav_airvision_tpu.evaluation.metrics import ate, rte, write_metrics_summary
+    from uav_airvision_tpu.evaluation.plots import (
+        per_sequence_artifacts, plot_summary)
     from uav_airvision_tpu.models.vio import VioFrame, run_sequence
     from uav_airvision_tpu.simulation.world import (
         EUROC_MOTION_PRESETS, StereoWorld, Trajectory6DoF)
@@ -41,6 +43,7 @@ def run_synthetic_suite(duration, csv_path, seeds=(7, 13)):
 
     config = euroc_config()
     rows = []
+    summary = []  # (name, ate_pct, rte_pct) for the repo-level bar charts
     for preset, kw in EUROC_MOTION_PRESETS.items():
         for seed in seeds:
             name = f"SYN_{preset}_s{seed}"
@@ -87,9 +90,24 @@ def run_synthetic_suite(duration, csv_path, seeds=(7, 13)):
                 rte_rmse=r["rmse"], rte_mean=r["mean"], rte_std=r["std"],
                 ate_perc=perc,
             ))
+            # per-sequence plot artifacts (reference results/<seq>/ set)
+            seq_dir = os.path.join("results", name)
+            per_sequence_artifacts(seq_dir, ts_abs[act],
+                                   np.asarray(outs.p)[act], fts, gt_p)
+            print(f"[plots] {seq_dir}/", flush=True)
+            if path_len > 0:
+                summary.append((name, 100.0 * a["rmse"] / path_len,
+                                100.0 * r["rmse"] / path_len))
     os.makedirs(os.path.dirname(csv_path), exist_ok=True)
     write_metrics_summary(csv_path, rows)
     print(f"[csv] {csv_path}")
+    if summary:
+        names = [s[0] for s in summary]
+        plot_summary("results/ate_summary.png", names,
+                     [s[1] for s in summary], "ATE")
+        plot_summary("results/rte_summary.png", names,
+                     [s[2] for s in summary], "RTE")
+        print("[plots] results/ate_summary.png results/rte_summary.png")
 
 
 def main():
@@ -159,11 +177,31 @@ def main():
                     rte_rmse=r["rmse"], rte_mean=r["mean"], rte_std=r["std"],
                     ate_perc=perc,
                 ))
+                # reference-style per-sequence plots (first offset only —
+                # the reference publishes one artifact set per sequence)
+                if off == args.offsets[0]:
+                    from uav_airvision_tpu.evaluation.plots import (
+                        per_sequence_artifacts)
+
+                    per_sequence_artifacts(
+                        os.path.join("results", seq), ts_abs[act],
+                        np.asarray(outs.p)[act], gt["timestamp"], gt["p"])
 
     if rows:
         os.makedirs(os.path.dirname(args.csv), exist_ok=True)
         write_metrics_summary(args.csv, rows)
         print(f"[csv] {args.csv}")
+        pr = [(r["dataset"], r["ate_perc"],
+               100.0 * r["rte_rmse"] * r["ate_perc"] / r["ate_rmse"]
+               if r["ate_perc"] != "" else "")
+              for r in rows if r["ate_perc"] != ""]
+        if pr:
+            from uav_airvision_tpu.evaluation.plots import plot_summary
+
+            plot_summary("results/ate_summary.png", [p[0] for p in pr],
+                         [p[1] for p in pr], "ATE")
+            plot_summary("results/rte_summary.png", [p[0] for p in pr],
+                         [p[2] for p in pr], "RTE")
 
 
 if __name__ == "__main__":

@@ -56,6 +56,31 @@ def test_full_pipeline_tracks_ground_truth():
 
 
 @pytest.mark.slow
+def test_euroc_dataset_to_cli(tmp_path, monkeypatch, capsys):
+    """Dataset -> CLI path end-to-end (reference entry src/main.py:10-34):
+    write a EuRoC-format directory with euroc_writer, run
+    ``main.main(["--path", ..., "--eval"])``, assert the trajectory file
+    exists and the evaluated ATE is finite and small."""
+    from uav_airvision_tpu import main as cli
+    from uav_airvision_tpu.config import euroc_config
+    from uav_airvision_tpu.simulation.euroc_writer import write_euroc_dataset
+    from uav_airvision_tpu.simulation.world import StereoWorld
+
+    ds = tmp_path / "SYN_CLI"
+    write_euroc_dataset(StereoWorld(euroc_config()), str(ds), duration=2.0)
+    monkeypatch.chdir(tmp_path)  # trajectory lands in ./results/txts
+    cli.main(["--path", str(ds), "--offset", "0", "--eval"])
+    stdout = capsys.readouterr().out
+    traj = tmp_path / "results" / "txts" / "output_SYN_CLI_offset0.txt"
+    assert traj.exists()
+    lines = traj.read_text().splitlines()
+    assert len(lines) >= 15  # ~40 frames minus init/gravity settling
+    assert "[eval] ATE rmse=" in stdout
+    rmse = float(stdout.split("[eval] ATE rmse=")[1].split("m")[0])
+    assert np.isfinite(rmse) and rmse < 0.1
+
+
+@pytest.mark.slow
 def test_trajectory_writer_format(tmp_path):
     from uav_airvision_tpu.utils.trajectory import TrajectoryWriter
     from uav_airvision_tpu.evaluation.metrics import load_trajectory_txt
