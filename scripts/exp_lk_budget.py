@@ -79,14 +79,13 @@ def main():
         return dataclasses.replace(cfg, frontend=dataclasses.replace(cfg.frontend, **kw))
 
     variants = [
-        ("unseeded full pyramid, max30", fe(base, stereo_seeded=False)),
-        ("unseeded full pyramid, max10", fe(base, stereo_seeded=False,
-                                            lk_max_iteration=10)),
-        ("seeded L1 max10", fe(base, lk_max_iteration=10)),
-        ("seeded L2 max10", fe(base, stereo_seeded_levels=2,
-                               lk_max_iteration=10)),
-        ("seeded L2 max15", fe(base, stereo_seeded_levels=2,
-                               lk_max_iteration=15)),
+        ("baseline (seeded L2 max10)", base),
+        ("static_iters", fe(base, lk_static_iters=True)),
+        ("static + upper5", fe(base, lk_static_iters=True,
+                               lk_max_iteration_upper=5)),
+        ("upper5 (while)", fe(base, lk_max_iteration_upper=5)),
+        ("static + upper3", fe(base, lk_static_iters=True,
+                               lk_max_iteration_upper=3)),
     ]
     for label, cfg in variants:
         run_variant(label, cfg, frames, pb, fts, world)

@@ -122,6 +122,21 @@ class FrontendConfig:
     # False drops the lax.cond fallback (always-seeded): under fleet vmap a
     # cond lowers to select and BOTH stereo paths would execute every frame.
     stereo_seed_fallback: bool = True
+    # True replaces every LK level's Gauss-Newton while_loop with
+    # ``max_iter`` straight-line gated steps (ops/lk.py::_iterate_level):
+    # bit-identical math (verified), no cross-feature any(~conv) sync
+    # between steps.  Measured (scripts/exp_lk_budget.py, 200 frames):
+    # +6% fps alone; within run noise of the while_loop once
+    # lk_max_iteration_upper=5 is set — kept True because under fleet vmap
+    # a while_loop always runs to the batch-max trip count, so the static
+    # form is never worse and drops the per-step reduction.
+    lk_static_iters: bool = True
+    # Iteration cap for pyramid levels > 0 (0 = use lk_max_iteration).
+    # Upper levels only place the level-0 start inside its convergence
+    # basin; they don't need level-0 precision.  Measured: 5 is +11% fps at
+    # slightly BETTER ATE (0.00500 vs 0.00520 m); 3 is faster still but
+    # measurably worse (0.00537 m).  exp_lk_budget.py.
+    lk_max_iteration_upper: int = 5
 
     @property
     def grid_num(self) -> int:

@@ -283,6 +283,8 @@ def frontend_step(
             state.prev_pyr, pyr0, prev_pts, pred, prev_valid,
             win=fe.patch_size, max_iter=fe.lk_max_iteration,
             eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
+            static_iters=fe.lk_static_iters,
+            max_iter_upper=fe.lk_max_iteration_upper or None,
         )
         st = st & (curr[:, 0] >= 0) & (curr[:, 0] <= W - 1) \
                 & (curr[:, 1] >= 0) & (curr[:, 1] <= H - 1)

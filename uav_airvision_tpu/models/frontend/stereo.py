@@ -74,6 +74,8 @@ def stereo_match(
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
         n_levels=n_fwd,
+        static_iters=fe.lk_static_iters,
+        max_iter_upper=fe.lk_max_iteration_upper or None,
     )
     # Backward pass for the fwd/bwd error gate.  Default: level 0 only — the
     # initial guess (the original cam0 point) is already sub-pixel for true
@@ -86,6 +88,7 @@ def stereo_match(
         win=fe.patch_size, max_iter=fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
         n_levels=n_bwd,
+        static_iters=fe.lk_static_iters,
     )
 
     err = jnp.linalg.norm(cam0_pts - p0r, axis=-1)

@@ -142,6 +142,7 @@ def _iterate_level(
     tmpl,  # dict of this level's template products, each (F, ...)
     curr_bp: BandedPyramid, level: int,
     next_pts_l, win, max_iter, eps2,
+    static_iters: bool = False,
 ):
     """Gauss-Newton iterations of one pyramid level for all features.
     Points are in level coordinates.  Returns refined points.
@@ -149,7 +150,14 @@ def _iterate_level(
     The while_loop body runs TWO Gauss-Newton steps (each gated on its own
     iteration index, so the math is identical to one-step bodies): the
     per-frame cost here is dispatch-bound, and halving the loop's cond/body
-    launches buys measurable wall time at zero numerical change."""
+    launches buys measurable wall time at zero numerical change.
+
+    ``static_iters=True`` replaces the while_loop with ``max_iter``
+    straight-line gated steps: identical math (every step is masked by the
+    same convergence/bounds logic), but no ``any(~conv)`` reduction between
+    steps — the while_loop's cond is a cross-feature sync point that blocks
+    XLA from pipelining the (tiny) per-step matmuls, and in practice one
+    straggler keeps the loop at max trip count anyway."""
     dtype = curr_bp.bands.dtype
     half = (win - 1) * 0.5
     HP, WP = curr_bp.levels[level][:2]
@@ -269,6 +277,11 @@ def _iterate_level(
         return (pts, prev_delta, conv, it + 2)
 
     conv0 = ~good
+    if static_iters:
+        pts, prev_delta, conv = next_pts_l, jnp.zeros_like(next_pts_l), conv0
+        for i in range(max_iter):
+            pts, prev_delta, conv = gn_step(pts, prev_delta, conv, i)
+        return pts
     init = (
         next_pts_l,
         jnp.zeros_like(next_pts_l),
@@ -290,9 +303,17 @@ def pyramidal_lk_banded(
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
     n_levels: int | None = None,
+    static_iters: bool = False,
+    max_iter_upper: int | None = None,
 ):
     """Track prev_pts into the current (banded) pyramid.
-    Returns (next_pts, status)."""
+    Returns (next_pts, status).
+
+    ``static_iters`` unrolls each level's Gauss-Newton loop into straight
+    line gated steps (see ``_iterate_level``).  ``max_iter_upper`` caps the
+    iterations of levels > 0 separately (upper levels only place the level-0
+    start within its convergence basin; they don't need level-0 precision).
+    """
     eps2 = eps * eps
     if n_levels is None:
         n_levels = min(prev_bp.n_levels, curr_bp.n_levels)
@@ -359,8 +380,10 @@ def pyramidal_lk_banded(
     for L in reversed(range(n_levels)):
         sl = slice(L * F, (L + 1) * F)
         tmpl = {k: v[sl] for k, v in tmpl_all.items()}
+        it_l = max_iter if (L == 0 or max_iter_upper is None) else max_iter_upper
         pts_l = _iterate_level(
-            tmpl, curr_bp, L, next_pts * (1.0 / (1 << L)), win, max_iter, eps2,
+            tmpl, curr_bp, L, next_pts * (1.0 / (1 << L)), win, it_l, eps2,
+            static_iters=static_iters,
         )
         next_pts = pts_l * (1 << L)
 

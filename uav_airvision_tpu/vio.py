@@ -38,6 +38,52 @@ from .utils.transforms import Isometry
 vio_result = namedtuple("vio_result", ["timestamp", "pose", "velocity", "cam0_pose"])
 
 
+def _pack_frame(t, cam0, cam1, imu_t, imu_w, imu_a, imu_m, mean_w, dt,
+                active, I):
+    """Host side of the two-transfer frame layout (see VIO.__init__)."""
+    packed = np.empty(6 + 8 * I, np.float32)
+    packed[0] = t
+    packed[1] = dt
+    packed[2] = float(active)
+    packed[3:6] = mean_w
+    packed[6:6 + I] = imu_t
+    packed[6 + I:6 + 4 * I] = np.asarray(imu_w, np.float32).reshape(-1)
+    packed[6 + 4 * I:6 + 7 * I] = np.asarray(imu_a, np.float32).reshape(-1)
+    packed[6 + 7 * I:] = imu_m
+    imgs = np.stack([cam0, cam1])
+    return imgs, packed
+
+
+def _unpack_frame(imgs, packed, I):
+    """Device side (traced): packed vector + image stack -> VioFrame."""
+    return VioFrame(
+        timestamp=packed[0],
+        cam0=imgs[0],
+        cam1=imgs[1],
+        imu_t=packed[6:6 + I],
+        imu_w=packed[6 + I:6 + 4 * I].reshape(I, 3),
+        imu_a=packed[6 + 4 * I:6 + 7 * I].reshape(I, 3),
+        imu_mask=packed[6 + 7 * I:] > 0.5,
+        fe_mean_w=packed[3:6],
+        fe_dt=packed[1],
+        active=packed[2] > 0.5,
+    )
+
+
+def _pack_out(out):
+    """Device side (traced): StepOutput publish fields -> ONE (24,) f32
+    vector.  Layout: [timestamp, active, q(4), p(3), v(3), R_imu_cam0(9),
+    t_cam0_imu(3)]."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        out.timestamp.reshape(1).astype(f32),
+        out.active.reshape(1).astype(f32),
+        out.q.astype(f32), out.p.astype(f32), out.v.astype(f32),
+        out.R_imu_cam0.reshape(9).astype(f32),
+        out.t_cam0_imu.astype(f32),
+    ])
+
+
 class VIO:
     def __init__(self, config: Config, img_queue: Queue, imu_queue: Queue,
                  viewer=None, trajectory_writer: TrajectoryWriter = None):
@@ -49,10 +95,25 @@ class VIO:
 
         self.fparams = make_frontend_params(config)
         self.mparams = make_params(config)
+        # The per-frame inputs cross the (high-latency) axon tunnel as TWO
+        # transfers — one (2,H,W) uint8 image stack and one packed float32
+        # vector holding every scalar/IMU field — instead of one transfer
+        # per VioFrame leaf: each host->device put is its own round trip,
+        # and at ~10 leaves the latency (not the bytes) was the streaming
+        # bottleneck.  The frame is unpacked on-device inside the jit.
+        I = config.capacity.max_imu_per_frame
+
+        def _packed_step(st, imgs, packed):
+            frame = _unpack_frame(imgs, packed, I)
+            st, out = vio_step(st, frame, self.fparams, self.mparams,
+                               self.config)
+            # publish fields flattened to ONE device buffer: a device_get
+            # over the axon tunnel pays per-leaf latency, and the publisher
+            # fetches every frame (see _publish_loop)
+            return st, _pack_out(out)
+
         self._step = with_highest_precision(jax.jit(
-            lambda st, fr: vio_step(st, fr, self.fparams, self.mparams,
-                                    self.config),
-            donate_argnums=(0,),
+            _packed_step, donate_argnums=(0,),
         ))
 
         # jnp.copy normalizes the freshly-initialized buffers: donation of
@@ -94,20 +155,10 @@ class VIO:
         cap = self.config.capacity
         h, w = self.config.calib.cam0_resolution[1], self.config.calib.cam0_resolution[0]
         I = cap.max_imu_per_frame
-        dummy = VioFrame(
-            timestamp=jnp.zeros((), jnp.float32),
-            cam0=jnp.zeros((h, w), jnp.uint8),
-            cam1=jnp.zeros((h, w), jnp.uint8),
-            imu_t=jnp.zeros((I,), jnp.float32),
-            imu_w=jnp.zeros((I, 3), jnp.float32),
-            imu_a=jnp.zeros((I, 3), jnp.float32),
-            imu_mask=jnp.zeros((I,), bool),
-            fe_mean_w=jnp.zeros((3,), jnp.float32),
-            fe_dt=jnp.zeros((), jnp.float32),
-            active=jnp.zeros((), bool),
-        )
+        imgs = np.zeros((2, h, w), np.uint8)
+        packed = np.zeros(6 + 8 * I, np.float32)
         st = jax.tree.map(jnp.copy, self.vio_state)
-        st, out = self._step(st, dummy)
+        st, out = self._step(st, imgs, packed)
         jax.block_until_ready(out)
 
     # ------------------------------------------------------------------
@@ -237,22 +288,16 @@ class VIO:
         if self.time_base is None:
             self.time_base = t
         base = self.time_base
-        frame = VioFrame(
-            timestamp=jnp.asarray(t - base, jnp.float32),
-            cam0=jnp.asarray(msg.cam0_image),
-            cam1=jnp.asarray(msg.cam1_image),
-            imu_t=jnp.asarray(np.where(imu_m, imu_t - base, 0.0), jnp.float32),
-            imu_w=jnp.asarray(imu_w, jnp.float32),
-            imu_a=jnp.asarray(imu_a, jnp.float32),
-            imu_mask=jnp.asarray(imu_m),
-            fe_mean_w=jnp.asarray(mean_w, jnp.float32),
-            fe_dt=jnp.asarray(dt, jnp.float32),
-            active=jnp.asarray(bool(active)),
+        imgs, packed = _pack_frame(
+            t - base, msg.cam0_image, msg.cam1_image,
+            np.where(imu_m, imu_t - base, 0.0), imu_w, imu_a, imu_m,
+            mean_w, dt, active,
+            self.config.capacity.max_imu_per_frame,
         )
-        # ONE fused async dispatch; state buffers are donated.  The
-        # publisher thread syncs the output while we assemble the next
-        # frame.
-        self.vio_state, out = self._step(self.vio_state, frame)
+        # ONE fused async dispatch, TWO host->device transfers; state
+        # buffers are donated.  The publisher thread syncs the output while
+        # we assemble the next frame.
+        self.vio_state, out = self._step(self.vio_state, imgs, packed)
         self.prev_img_t = t
         if active:
             self._publish_queue.put(out)
@@ -265,26 +310,44 @@ class VIO:
             self.process_stereo_msg(msg)
 
     def _publish_loop(self):
-        """Drain device outputs asynchronously: trajectory write + viewer."""
-        while True:
-            out = self._publish_queue.get()
-            if out is None:
-                break
-            result = self._publish(out)
-            if result is not None and self.viewer is not None:
-                self.viewer.update_pose(result.cam0_pose)
+        """Drain device outputs asynchronously: trajectory write + viewer.
 
-    def _publish(self, out):
-        # ONE device->host fetch for the whole StepOutput (separate
-        # np.asarray per field would be one tunnel round trip each), then
-        # pure NumPy: no device dispatches on the publish path.
-        o = jax.device_get(out)
-        if not bool(o.active):
+        Outputs are fetched in BATCHES: a device_get over the axon tunnel
+        pays a fixed per-call sync latency much larger than the transfer,
+        so whenever the device step outpaces the fetch, every output queued
+        meanwhile is fetched with the next one in a single call (one flat
+        (24,) buffer per frame — see _pack_out) and the publisher catches
+        up instead of capping throughput at 1/latency."""
+        from queue import Empty
+
+        done = False
+        while not done:
+            batch = [self._publish_queue.get()]
+            while True:
+                try:
+                    batch.append(self._publish_queue.get_nowait())
+                except Empty:
+                    break
+            if batch[-1] is None:
+                done = True
+                batch.pop()
+            if not batch:
+                break
+            for o in jax.device_get(batch):
+                result = self._publish(o)
+                if result is not None and self.viewer is not None:
+                    self.viewer.update_pose(result.cam0_pose)
+
+    def _publish(self, o):
+        # o: host copy of the packed (24,) output vector; pure NumPy from
+        # here — no device dispatches on the publish path.
+        o = np.asarray(o, np.float64)
+        if o[1] < 0.5:  # active flag
             return None
-        q = np.asarray(o.q, np.float64)
-        p = np.asarray(o.p, np.float64)
-        v = np.asarray(o.v, np.float64)
-        t_abs = (self.time_base or 0.0) + float(o.timestamp)
+        q = o[2:6]
+        p = o[6:9]
+        v = o[9:12]
+        t_abs = (self.time_base or 0.0) + float(o[0])
         self.writer.append(t_abs, p, q)
 
         R_w_i = _np_quat_to_rotation(q)
@@ -297,8 +360,8 @@ class VIO:
         body_pose = Isometry(R_b_w, t_b_w)
         body_velocity = Rb @ v
 
-        R_w_c = np.asarray(o.R_imu_cam0, np.float64) @ R_w_i
-        t_c_w = p + R_w_i.T @ np.asarray(o.t_cam0_imu, np.float64)
+        R_w_c = o[12:21].reshape(3, 3) @ R_w_i
+        t_c_w = p + R_w_i.T @ o[21:24]
         cam0_pose = Isometry(R_w_c.T, t_c_w)
         result = vio_result(t_abs, body_pose, body_velocity, cam0_pose)
         self.results.append(result)
