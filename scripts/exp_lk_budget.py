@@ -79,13 +79,11 @@ def main():
         return dataclasses.replace(cfg, frontend=dataclasses.replace(cfg.frontend, **kw))
 
     variants = [
-        ("baseline (seeded L2 max10)", base),
-        ("static_iters", fe(base, lk_static_iters=True)),
-        ("static + upper5", fe(base, lk_static_iters=True,
-                               lk_max_iteration_upper=5)),
-        ("upper5 (while)", fe(base, lk_max_iteration_upper=5)),
-        ("static + upper3", fe(base, lk_static_iters=True,
-                               lk_max_iteration_upper=3)),
+        ("baseline (r3 defaults, bwd5)", base),
+        ("bwd10 (pre-r3 backward)", fe(base, stereo_bwd_max_iter=0)),
+        ("bwd3", fe(base, stereo_bwd_max_iter=3)),
+        ("max8 (L0 cap 10->8)", fe(base, lk_max_iteration=8)),
+        ("max8 + bwd3", fe(base, lk_max_iteration=8, stereo_bwd_max_iter=3)),
     ]
     for label, cfg in variants:
         run_variant(label, cfg, frames, pb, fts, world)

@@ -48,7 +48,7 @@ if __name__ == "__main__":
     from uav_airvision_tpu.models.frontend.stereo import stereo_match
     from uav_airvision_tpu.models.msckf.state import make_params, init_state
     from uav_airvision_tpu.models.msckf import step as bstep
-    from uav_airvision_tpu.models.msckf.propagation import propagate
+    from uav_airvision_tpu.models.msckf.propagation import propagate, propagate_tiered
     from uav_airvision_tpu.ops import pyramid, lk, fast
     from uav_airvision_tpu.utils.precision import with_highest_precision
 
@@ -216,6 +216,15 @@ if __name__ == "__main__":
         return (st2, ts + 0.05)
 
     scan_time(prop_body, (state, frame.timestamp), reps, "  propagate")
+
+    def propt_body(c):
+        st, ts = c
+        it = jnp.where(frame.imu_mask, frame.imu_t - frame.timestamp + ts + 0.05, 0.0)
+        st2 = propagate_tiered(st, mparams, it, frame.imu_w, frame.imu_a,
+                               frame.imu_mask)
+        return (st2, ts + 0.05)
+
+    scan_time(propt_body, (state, frame.timestamp), reps, "  propagate (tiered)")
 
     def rl_body(c):
         st, _, _ = bstep.remove_lost_features(c[0], mparams, cfg)

@@ -91,6 +91,13 @@ class FrontendConfig:
     # already sub-pixel for true matches, so the coarse levels add cost but
     # no discrimination.  Set True for the reference's full-pyramid backward.
     stereo_full_backward: bool = False
+    # Iteration cap for the stereo BACKWARD LK (0 = lk_max_iteration).  The
+    # backward pass exists only to feed the 3 px fwd/bwd error gate; its
+    # initial guess (the original cam0 point) is exact for true matches, so
+    # convergence is 1-2 iterations and the cap only bounds mismatches —
+    # which drift AWAY and still fail the gate.  Candidate fast knob;
+    # default 0 until measured (scripts/exp_lk_budget.py matrix).
+    stereo_bwd_max_iter: int = 0
     # Pyramid levels for the stereo FORWARD LK (-1 = full pyramid, the
     # reference behavior, the default).  Measured on the synthetic world
     # (scripts/exp_stereo_levels.py): truncating to 2 levels buys only ~14%

@@ -149,23 +149,29 @@ def _detection_candidates(img, mask, config: Config, per_cell: int):
 
 
 def _detection_mask(img_shape, pts, valid):
-    """True = detection allowed.  7x7 exclusion window around each feature via
-    point scatter + separable dilation; features with int(x)<3 or int(y)<3 do
-    not mask (reference numpy negative-slice quirk)."""
+    """True = detection allowed.  7x7 exclusion window around each feature;
+    features with int(x)<3 or int(y)<3 do not mask (reference numpy
+    negative-slice quirk).
+
+    Scatter-free MXU formulation: pixel (y, x) is excluded iff some feature f
+    has |y - iy_f| <= 3 AND |x - ix_f| <= 3, i.e. the dilated mask is the
+    outer product of per-feature row/column indicator strips — ONE
+    (H, F) @ (F, W) matmul instead of a point scatter + 7x7 OR window
+    (bit-identical, verified in scripts/exp_topk.py lineage; counts <= F < 256
+    are exact in bf16-in/f32-accumulate)."""
     H, W = img_shape
     ix = jnp.floor(pts[:, 0]).astype(jnp.int32)
     iy = jnp.floor(pts[:, 1]).astype(jnp.int32)
     ok = valid & (ix >= 3) & (iy >= 3)
-    ix = jnp.where(ok, ix, W)  # out-of-range -> dropped
-    iy = jnp.where(ok, iy, H)
-    pm = jnp.zeros((H, W), bool).at[iy, ix].set(True, mode="drop")
-    # 7x7 box dilation as one windowed OR-reduction (edge-clipped, exactly
-    # the reference's numpy box mask semantics — the previous roll-based
-    # dilation wrapped at borders)
-    d = lax.reduce_window(
-        pm, False, lax.bitwise_or, (7, 7), (1, 1), "SAME"
-    )
-    return ~d
+    ix = jnp.where(ok, ix, -10)  # strip falls fully outside the image
+    iy = jnp.where(ok, iy, -10)
+    ay = jnp.arange(H, dtype=jnp.int32)
+    ax = jnp.arange(W, dtype=jnp.int32)
+    Rm = (jnp.abs(ay[None, :] - iy[:, None]) <= 3).astype(jnp.bfloat16)  # (F,H)
+    Cm = (jnp.abs(ax[None, :] - ix[:, None]) <= 3).astype(jnp.bfloat16)  # (F,W)
+    d = lax.dot_general(Rm, Cm, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (H,W) counts
+    return d == 0.0
 
 
 def _normalize_publish(state_ids, lifetime, cam0, cam1, valid,

@@ -85,7 +85,8 @@ def stereo_match(
     n_bwd = None if fe.stereo_full_backward else 1
     p0r, _ = lk.pyramidal_lk_banded(
         bp1, bp0, p1, cam0_pts, valid,
-        win=fe.patch_size, max_iter=fe.lk_max_iteration,
+        win=fe.patch_size,
+        max_iter=fe.stereo_bwd_max_iter or fe.lk_max_iteration,
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
         n_levels=n_bwd,
         static_iters=fe.lk_static_iters,

@@ -30,6 +30,40 @@ from ...utils import quaternion as quat
 from .state import IMU_DIM, FilterState, MsckfParams
 
 
+PROP_TIER = 16  # small-tier slice height of propagate_tiered
+
+
+def propagate_tiered(state: FilterState, params: MsckfParams,
+                     imu_t, imu_w, imu_a, imu_mask,
+                     static_tier: str = "dynamic"):
+    """Size-tiered ``propagate``: the padded per-frame IMU slice is
+    ``capacity.max_imu_per_frame`` (64) to absorb sensor-dropout gaps, but a
+    nominal 200 Hz / 20 fps stream fills ~10-11 slots — so the batched
+    per-step work (I,21,21) and the two associative scans run at 4x the
+    needed width.  Valid slots are packed first (streaming/prebatch.py) and
+    masked slots compose as identity, so slicing the first PROP_TIER slots
+    when every valid sample fits is EXACT.
+
+    ``static_tier``: "dynamic" picks with a run-time lax.cond (non-vmapped
+    scan/streaming path); "small"/"full" force a tier at trace time for the
+    fleet path, which hoists the decision to a batch-level cond OUTSIDE its
+    vmap (under vmap a cond lowers to select and both widths would run).
+    """
+    I = imu_t.shape[0]
+    if I <= PROP_TIER or static_tier == "full":
+        return propagate(state, params, imu_t, imu_w, imu_a, imu_mask)
+
+    def small(s):
+        return propagate(s, params, imu_t[:PROP_TIER], imu_w[:PROP_TIER],
+                         imu_a[:PROP_TIER], imu_mask[:PROP_TIER])
+
+    if static_tier == "small":
+        return small(state)
+    return lax.cond(
+        jnp.sum(imu_mask.astype(jnp.int32)) <= PROP_TIER, small,
+        lambda s: propagate(s, params, imu_t, imu_w, imu_a, imu_mask), state)
+
+
 def _omega_mat(gyro, half_dt):
     """Closed-form quaternion integrator matrix (reference predict_new_state,
     src/msckf.py:343-362): q(t+dt) = M q(t), batched over steps."""
@@ -84,13 +118,12 @@ def propagate(state: FilterState, params: MsckfParams, imu_t, imu_w, imu_a, imu_
     # ---- phase 2: RK4 velocity / position --------------------------------
     dq_full = jnp.einsum("nij,nj->ni", M_full, q_at)  # unnormalized, as ref
     dq_half = jnp.einsum("nij,nj->ni", M_half, q_at)
-    R_at_T = jnp.swapaxes(quat.to_rotation(q_at), -1, -2)
-    R_half_T = jnp.swapaxes(quat.to_rotation(dq_half), -1, -2)
-    R_full_T = jnp.swapaxes(quat.to_rotation(dq_full), -1, -2)
-
-    k1vd = jnp.einsum("nij,nj->ni", R_at_T, acc) + gravity[None, :]
-    k2vd = jnp.einsum("nij,nj->ni", R_half_T, acc) + gravity[None, :]
-    k4vd = jnp.einsum("nij,nj->ni", R_full_T, acc) + gravity[None, :]
+    # one batched to_rotation + one batched rotate for all three RK4 stages
+    R_all_T = jnp.swapaxes(
+        quat.to_rotation(jnp.concatenate([q_at, dq_half, dq_full])), -1, -2)
+    k_all = (jnp.einsum("nij,nj->ni", R_all_T, jnp.tile(acc, (3, 1)))
+             + gravity[None, :])
+    k1vd, k2vd, k4vd = k_all[:I], k_all[I:2 * I], k_all[2 * I:]
     # k3 uses the same midpoint rotation as k2 (ref msckf.py:364-384)
     dv = (k1vd + 4.0 * k2vd + k4vd) * (dt / 6.0)[:, None]
     dv = jnp.where(m[:, None], dv, 0.0)

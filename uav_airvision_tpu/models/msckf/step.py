@@ -27,7 +27,7 @@ from jax import lax
 from ...config import Config
 from ...utils import quaternion as quat
 from . import triangulation as tri
-from .propagation import propagate
+from .propagation import PROP_TIER, propagate_tiered
 from .state import IMU_DIM, CamWindow, FeatureTable, FilterState, MsckfParams, reset_cov
 from .update import (GATE_TIER, apply_update, feature_block, gating_test_batch,
                      update_tiers)
@@ -637,8 +637,8 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
         )
         state = state._replace(imu=imu, started=jnp.ones((), bool))
 
-        state = propagate(state, params, frame.imu_t, frame.imu_w, frame.imu_a,
-                          frame.imu_mask)
+        state = propagate_tiered(state, params, frame.imu_t, frame.imu_w,
+                                 frame.imu_a, frame.imu_mask)
         state = augment_state(state, frame.timestamp)
         state = add_observations(state, frame.feat_ids, frame.feat_uv,
                                  frame.feat_mask)
@@ -760,20 +760,31 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
     cap = config.capacity
     T1, T2 = update_tiers(cap.state_dim)
 
-    def seg1(state, frame):
-        imu = state.imu._replace(
-            timestamp=jnp.where(state.started, state.imu.timestamp,
-                                frame.timestamp)
-        )
-        state = state._replace(imu=imu, started=jnp.ones((), bool))
-        state = propagate(state, params, frame.imu_t, frame.imu_w,
-                          frame.imu_a, frame.imu_mask)
-        state = augment_state(state, frame.timestamp)
-        state = add_observations(state, frame.feat_ids, frame.feat_uv,
-                                 frame.feat_mask)
-        return state
+    def seg1(prop_tier):
+        def run(state, frame):
+            imu = state.imu._replace(
+                timestamp=jnp.where(state.started, state.imu.timestamp,
+                                    frame.timestamp)
+            )
+            state = state._replace(imu=imu, started=jnp.ones((), bool))
+            state = propagate_tiered(state, params, frame.imu_t, frame.imu_w,
+                                     frame.imu_a, frame.imu_mask,
+                                     static_tier=prop_tier)
+            state = augment_state(state, frame.timestamp)
+            state = add_observations(state, frame.feat_ids, frame.feat_uv,
+                                     frame.feat_mask)
+            return state
+        return run
 
-    rstate = jax.vmap(seg1)(bstate, bframe)
+    # propagation tier hoisted to a batch-level cond (PROP_TIER slice is
+    # exact when every instance's valid IMU samples fit — the nominal case)
+    prop_small = jnp.max(
+        jnp.sum(bframe.imu_mask.astype(jnp.int32), axis=-1)) <= PROP_TIER
+    rstate = lax.cond(
+        prop_small,
+        lambda args: jax.vmap(seg1("small"))(*args),
+        lambda args: jax.vmap(seg1("full"))(*args),
+        (bstate, bframe))
 
     # ---- remove_lost: one statically-tiered variant for the whole batch ---
     n_cand = jax.vmap(_count_lost_candidates)(rstate)
