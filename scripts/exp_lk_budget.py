@@ -80,7 +80,7 @@ def main():
 
     variants = [
         ("baseline (r3 defaults, bwd5)", base),
-        ("bwd10 (pre-r3 backward)", fe(base, stereo_bwd_max_iter=0)),
+        ("bwd uncapped (pre-r3 backward)", fe(base, stereo_bwd_max_iter=0)),
         ("bwd3", fe(base, stereo_bwd_max_iter=3)),
         ("max8 (L0 cap 10->8)", fe(base, lk_max_iteration=8)),
         ("max8 + bwd3", fe(base, lk_max_iteration=8, stereo_bwd_max_iter=3)),

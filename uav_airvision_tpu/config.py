@@ -95,8 +95,14 @@ class FrontendConfig:
     # backward pass exists only to feed the 3 px fwd/bwd error gate; its
     # initial guess (the original cam0 point) is exact for true matches, so
     # convergence is 1-2 iterations and the cap only bounds mismatches —
-    # which drift AWAY and still fail the gate.  Candidate fast knob;
-    # default 0 until measured (scripts/exp_lk_budget.py matrix).
+    # which drift AWAY and still fail the gate.  MEASURED AND REJECTED as a
+    # default: on the mild bench world a cap of 3 is ATE-equal (0.00492 vs
+    # 0.00500 m, scripts/exp_lk_budget.py), but on the hard-motion preset
+    # head-to-head a cap of 5 pushed ours/ref ATE from 1.028 to 1.094 (easy)
+    # and 0.962 to 1.079 (medium) — fewer backward iterations let a FALSE
+    # match drift less from its seed, weakening the 3 px gate exactly where
+    # outliers are plentiful.  (It HELPED difficult, 0.873 -> 0.819: more
+    # surviving matches aid continuity there.)  Keep 0 = uncapped.
     stereo_bwd_max_iter: int = 0
     # Pyramid levels for the stereo FORWARD LK (-1 = full pyramid, the
     # reference behavior, the default).  Measured on the synthetic world
