@@ -201,3 +201,56 @@ def test_banded_shift_extract_exact():
     got = jax.jit(lambda a, b, c: _shift_extract(a, b, c, n))(w64, ry, rx)
     want = jax.vmap(lambda W, y, x: lax.dynamic_slice(W, (y, x), (n, n)))(w64, ry, rx)
     assert bool(jnp.all(got == want))
+
+
+def test_dense_grid_topk_matches_numpy(textured):
+    """The k-argmax-pass per-cell top-k (ops/gridops.py) vs a literal numpy
+    sort oracle: descending value, ties toward the lower row-major index
+    (what cv2-style per-cell selection over a FAST score map produces)."""
+    from uav_airvision_tpu.ops import gridops
+
+    keep, score = fast.detect_fast(jnp.asarray(textured, jnp.float32), 15)
+    score = np.asarray(score, np.int64)
+    H, W = score.shape
+    gr, gc, k = 4, 5, 5
+    ys, xs, vals = gridops.dense_grid_topk(jnp.asarray(score, jnp.int32),
+                                           gr, gc, k)
+    ys, xs, vals = np.asarray(ys), np.asarray(xs), np.asarray(vals)
+
+    ch, cw = int(np.ceil(H / gr)), int(np.ceil(W / gc))
+    for r in range(gr):
+        for c in range(gc):
+            cell = np.full((ch, cw), -1, np.int64)
+            sub = score[r * ch:(r + 1) * ch, c * cw:(c + 1) * cw]
+            cell[: sub.shape[0], : sub.shape[1]] = sub
+            flat = cell.reshape(-1)
+            # stable sort on (-value, index): ties -> lower index first
+            order = np.lexsort((np.arange(flat.size), -flat))[:k]
+            i = r * gc + c
+            assert np.array_equal(vals[i], flat[order])
+            assert np.array_equal(ys[i], r * ch + order // cw)
+            assert np.array_equal(xs[i], c * cw + order % cw)
+
+
+def test_detection_mask_matches_numpy_dilation():
+    """The outer-product MXU mask (models/frontend/pipeline.py) vs a literal
+    numpy 7x7 box dilation, including the int(x)<3 / int(y)<3 no-mask quirk
+    and invalid-point handling."""
+    from uav_airvision_tpu.models.frontend.pipeline import _detection_mask
+
+    rng = np.random.default_rng(3)
+    H, W = 120, 160
+    pts = rng.uniform([0, 0], [W - 1, H - 1], (40, 2)).astype(np.float32)
+    pts[:4] = [[1.2, 50.0], [50.0, 2.9], [0.0, 0.0], [W - 1.01, H - 1.01]]
+    valid = rng.uniform(size=40) > 0.25
+
+    got = np.asarray(_detection_mask((H, W), jnp.asarray(pts),
+                                     jnp.asarray(valid)))
+
+    exp = np.ones((H, W), bool)
+    for (x, y), v in zip(pts, valid):
+        ix, iy = int(np.floor(x)), int(np.floor(y))
+        if not v or ix < 3 or iy < 3:
+            continue
+        exp[max(iy - 3, 0): iy + 4, max(ix - 3, 0): ix + 4] = False
+    assert np.array_equal(got, exp)
