@@ -39,9 +39,6 @@ from ...ops import camera, extract, fast, gridops, lk, pyramid
 from .params import FrontendParams
 from .stereo import stereo_match
 
-INT32_MAX = jnp.iinfo(jnp.int32).max
-
-
 class FrontendState(NamedTuple):
     ids: jnp.ndarray  # (F,) int32
     lifetime: jnp.ndarray  # (F,) int32
@@ -115,19 +112,6 @@ def predicted_rotations(mean_ang_vel, dt, params: FrontendParams):
     cam0_mean = params.R_cam0_imu.T @ mean_ang_vel
     cam1_mean = params.R_cam1_imu.T @ mean_ang_vel
     return rodrigues(cam0_mean * dt).T, rodrigues(cam1_mean * dt).T
-
-
-def _assign_ids_cell_major(cell, score, arrival, keep, next_id, n_cells):
-    """Ids handed out in (cell asc, score desc, arrival asc) order over kept
-    entries, like the reference's per-cell id assignment loops."""
-    big_cell = jnp.where(keep, cell, n_cells)
-    perm = jnp.lexsort((arrival, -score, big_cell))
-    keep_sorted = keep[perm]
-    rank_sorted = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1
-    ids_sorted = jnp.where(keep_sorted, next_id + rank_sorted, -1)
-    ids = jnp.zeros_like(ids_sorted).at[perm].set(ids_sorted)
-    n_kept = jnp.sum(keep.astype(jnp.int32))
-    return ids, n_kept
 
 
 def _detection_candidates(img, mask, config: Config, per_cell: int):
@@ -251,15 +235,16 @@ def frontend_step(
         )
         cam1_pts, inlier = stereo_match(pyr0, pyr1, pts, vald, params, config)
         cell = gridops.cell_of_points(pts, fe.grid_row, fe.grid_col, H, W)
-        rank, _ = gridops.rank_in_cell(cell, score.astype(jnp.float32),
-                                       arrival, inlier, n_cells)
+        rank, perm = gridops.rank_in_cell(cell, score.astype(jnp.float32),
+                                          arrival, inlier, n_cells)
         keep = inlier & (rank < fe.grid_min_feature_num)
-        ids, n_kept = _assign_ids_cell_major(cell, score.astype(jnp.float32),
-                                             arrival, keep, state.next_id, n_cells)
-        # compact to state slots in id order (== cell-major publish order)
-        order = jnp.argsort(jnp.where(keep, ids, INT32_MAX))
-        sel = order[:F]
-        selm = keep[sel]
+        # ids in (cell asc, score desc, arrival asc) order over kept entries
+        # and the id-ordered compaction both fall out of the ONE sort above
+        # (stable sort: the kept subset keeps its relative order).
+        grank, _, n_kept = gridops.kept_order_stats(perm, keep, cell, inlier,
+                                                    n_cells)
+        ids = jnp.where(keep, state.next_id + grank, -1)
+        sel, selm = gridops.compact_kept(perm, keep, F)
         new_state = state._replace(
             ids=jnp.where(selm, ids[sel], -1),
             lifetime=jnp.where(selm, 1, 0).astype(jnp.int32),
@@ -374,13 +359,16 @@ def frontend_step(
         tr_cell = gridops.cell_of_points(curr, fe.grid_row, fe.grid_col, H, W)
         tr_life = state.lifetime + 1
         acell = gridops.cell_of_points(apts, fe.grid_row, fe.grid_col, H, W)
-        arank, _ = gridops.rank_in_cell(acell, ascore.astype(jnp.float32),
-                                        aarrival, ainlier, n_cells)
+        arank, aperm = gridops.rank_in_cell(acell, ascore.astype(jnp.float32),
+                                            aarrival, ainlier, n_cells)
         akeep = ainlier & (arank < fe.grid_min_feature_num)
-        aids, a_kept = _assign_ids_cell_major(
-            acell, ascore.astype(jnp.float32), aarrival, akeep,
-            state.next_id, n_cells,
-        )
+        # id assignment and the kept entries' per-cell insertion rank are
+        # both derived from the ONE candidate sort (kept_order_stats): a
+        # stable sort keeps the kept subset's relative order, so the
+        # keep-validity re-sorts the reference implies are redundant.
+        a_grank, a_crank, a_kept = gridops.kept_order_stats(
+            aperm, akeep, acell, ainlier, n_cells)
+        aids = jnp.where(akeep, state.next_id + a_grank, -1)
 
         # ---- combine tracked + new, prune per cell ----
         C = apts.shape[0]
@@ -391,11 +379,8 @@ def frontend_step(
         all_cam0 = jnp.concatenate([curr, apts])
         all_cam1 = jnp.concatenate([cam1_curr, acam1])
         # insertion order: tracked in prev-flat order, then new by (cell,rank)
-        new_arrival, _ = gridops.rank_in_cell(
-            acell, ascore.astype(jnp.float32), aarrival, akeep, n_cells
-        )
         arrival = jnp.concatenate(
-            [jnp.arange(F, dtype=jnp.int32), F + new_arrival.astype(jnp.int32)]
+            [jnp.arange(F, dtype=jnp.int32), F + a_crank.astype(jnp.int32)]
         )
 
         # per-cell counts decide pruner reordering (quirk: only overflowing
@@ -405,16 +390,15 @@ def frontend_step(
         overflow = cell_count > fe.grid_max_feature_num
         of_this = jnp.where(all_valid, overflow[jnp.clip(all_cell, 0, n_cells - 1)], False)
         sort_life = jnp.where(of_this, all_life, 0)  # stable: non-overflow keeps order
-        prank, _ = gridops.rank_in_cell(
+        prank, pperm = gridops.rank_in_cell(
             all_cell, sort_life.astype(jnp.float32), arrival, all_valid, n_cells
         )
         keep = all_valid & (prank < fe.grid_max_feature_num)
 
         # ---- compact into state slots in publish order ----
-        big_cell = jnp.where(keep, all_cell, n_cells)
-        pkey = jnp.lexsort((arrival, -sort_life, big_cell))
-        sel = pkey[:F]
-        selm = keep[sel]
+        # the publish-order permutation is the kept subset of the prune sort
+        # (same keys, stable) — compact_kept scatters it without a second sort
+        sel, selm = gridops.compact_kept(pperm, keep, F)
         new_state = state._replace(
             ids=jnp.where(selm, all_ids[sel], -1),
             lifetime=jnp.where(selm, all_life[sel], 0),

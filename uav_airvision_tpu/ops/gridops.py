@@ -45,6 +45,59 @@ def rank_in_cell(cell, primary_desc, arrival, valid, n_cells):
     return rank, perm
 
 
+def kept_order_stats(perm, keep, cell, valid, n_cells):
+    """Derive every downstream ordering of a kept subset from ONE sort.
+
+    ``perm`` is the stable cell-major permutation returned by
+    ``rank_in_cell(cell, ..., valid, n_cells)`` and ``keep`` a boolean subset
+    of the entries it ranked (keep implies valid).  A stable sort preserves
+    the relative order of any subset whose keys are unchanged, so re-sorting
+    with keep-validity (what the reference's per-cell Python loops do) yields
+    the kept entries in exactly the order they already appear in ``perm`` —
+    no second sort needed.  Returns
+
+      global_rank : (N,) int32 — rank among ALL kept entries, cell-major
+                    (== the id-assignment order), valid where ``keep``
+      cell_rank   : (N,) int32 — rank among kept entries of the same cell,
+                    valid where ``keep``
+      n_kept      : () int32
+
+    Replaces the reference's per-cell ``sorted(...)`` + enumerate loops
+    (feature_adder.py:66-108, feature_pruner.py:8-19) at one sort per stage
+    instead of the three a direct transcription costs.
+    """
+    keep_s = keep[perm]
+    k32 = keep_s.astype(jnp.int32)
+    prefix = jnp.cumsum(k32) - k32  # exclusive: kept entries before me
+    big_cell = jnp.where(valid, cell, n_cells)
+    cs = big_cell[perm]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), cs[1:] != cs[:-1]])
+    # prefix at my segment's start (prefix is nondecreasing, so a running
+    # max over start-marked values propagates the current segment's base)
+    base = jnp.maximum.accumulate(jnp.where(is_start, prefix, 0))
+    zeros = jnp.zeros_like(prefix)
+    global_rank = zeros.at[perm].set(jnp.where(keep_s, prefix, 0))
+    cell_rank = zeros.at[perm].set(jnp.where(keep_s, prefix - base, 0))
+    return global_rank, cell_rank, jnp.sum(keep.astype(jnp.int32))
+
+
+def compact_kept(perm, keep, n_slots):
+    """Scatter the kept entries (in their ``perm`` order) into the first
+    slots of an ``n_slots`` table: returns (sel (n_slots,) int32 source
+    indices, selm (n_slots,) bool).  Equivalent to ``perm_keep[:n_slots]``
+    of a second keep-validity sort (see kept_order_stats), without the sort;
+    requires n_kept <= n_slots (per-cell caps guarantee it at call sites).
+    """
+    keep_s = keep[perm]
+    k32 = keep_s.astype(jnp.int32)
+    prefix = jnp.cumsum(k32) - k32
+    target = jnp.where(keep_s, prefix, n_slots)  # n_slots -> dropped
+    sel = jnp.zeros((n_slots,), jnp.int32).at[target].set(
+        perm.astype(jnp.int32), mode="drop")
+    selm = jnp.arange(n_slots) < jnp.sum(k32)
+    return sel, selm
+
+
 def dense_grid_topk(score, grid_row, grid_col, k):
     """Top-k scoring pixels per grid cell from a dense (H, W) score map.
 
