@@ -31,17 +31,29 @@ def rank_in_cell(cell, primary_desc, arrival, valid, n_cells):
 
     Returns (rank, order) where order is the global sorted permutation
     (cell-major) and rank is each element's position within its cell.
+
+    Implemented as an O(n^2) pairwise comparison (n ~ 200 here) instead of a
+    lexsort: a bitonic sort network is ~log^2(n) sequential tiny passes on
+    TPU while the (n, n) strict-order mask is one fused VPU kernel + a row
+    reduction — measured ~6x cheaper for the frontend's grid stage
+    (scripts/exp_fe_cumulative.py).  The final index tie-break makes the
+    order strict and total, matching a stable lexsort bit-for-bit.
     """
-    big_cell = jnp.where(valid, cell, n_cells)
-    perm = jnp.lexsort((arrival, -primary_desc, big_cell))
-    sorted_cells = big_cell[perm]
-    idx = jnp.arange(cell.shape[0])
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_cells[1:] != sorted_cells[:-1]]
-    )
-    seg_start = jnp.maximum.accumulate(jnp.where(is_start, idx, 0))
-    rank_sorted = idx - seg_start
-    rank = jnp.zeros_like(idx).at[perm].set(rank_sorted)
+    n = cell.shape[0]
+    bc = jnp.where(valid, cell, n_cells)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # before[j, i]: element j sorts strictly before element i under
+    # (bc asc, primary desc, arrival asc, index asc).
+    cj, ci = bc[:, None], bc[None, :]
+    pj, pi = primary_desc[:, None], primary_desc[None, :]
+    aj, ai = arrival[:, None], arrival[None, :]
+    tie_pa = (pj == pi) & ((aj < ai) | ((aj == ai) & (idx[:, None] < idx[None, :])))
+    in_cell_before = (pj > pi) | tie_pa
+    same = cj == ci
+    before = (cj < ci) | (same & in_cell_before)
+    grank = jnp.sum(before.astype(jnp.int32), axis=0)
+    rank = jnp.sum((same & in_cell_before).astype(jnp.int32), axis=0)
+    perm = jnp.zeros((n,), jnp.int32).at[grank].set(idx)
     return rank, perm
 
 
@@ -66,18 +78,20 @@ def kept_order_stats(perm, keep, cell, valid, n_cells):
     (feature_adder.py:66-108, feature_pruner.py:8-19) at one sort per stage
     instead of the three a direct transcription costs.
     """
-    keep_s = keep[perm]
-    k32 = keep_s.astype(jnp.int32)
-    prefix = jnp.cumsum(k32) - k32  # exclusive: kept entries before me
+    n = perm.shape[0]
+    # pos = inverse permutation: element e's position in the sorted order.
+    pos = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    # Pairwise instead of gather+cumsum over the sorted order (see
+    # rank_in_cell): kept-rank of i = #{kept j sorting before i}.
+    before = pos[:, None] < pos[None, :]
+    kept_before = keep[:, None] & before
+    global_rank = jnp.sum(kept_before.astype(jnp.int32), axis=0)
     big_cell = jnp.where(valid, cell, n_cells)
-    cs = big_cell[perm]
-    is_start = jnp.concatenate([jnp.ones((1,), bool), cs[1:] != cs[:-1]])
-    # prefix at my segment's start (prefix is nondecreasing, so a running
-    # max over start-marked values propagates the current segment's base)
-    base = jnp.maximum.accumulate(jnp.where(is_start, prefix, 0))
-    zeros = jnp.zeros_like(prefix)
-    global_rank = zeros.at[perm].set(jnp.where(keep_s, prefix, 0))
-    cell_rank = zeros.at[perm].set(jnp.where(keep_s, prefix - base, 0))
+    same = big_cell[:, None] == big_cell[None, :]
+    cell_rank = jnp.sum((kept_before & same).astype(jnp.int32), axis=0)
+    zero = jnp.zeros((n,), jnp.int32)
+    global_rank = jnp.where(keep, global_rank, zero)
+    cell_rank = jnp.where(keep, cell_rank, zero)
     return global_rank, cell_rank, jnp.sum(keep.astype(jnp.int32))
 
 
@@ -88,13 +102,14 @@ def compact_kept(perm, keep, n_slots):
     of a second keep-validity sort (see kept_order_stats), without the sort;
     requires n_kept <= n_slots (per-cell caps guarantee it at call sites).
     """
-    keep_s = keep[perm]
-    k32 = keep_s.astype(jnp.int32)
-    prefix = jnp.cumsum(k32) - k32
-    target = jnp.where(keep_s, prefix, n_slots)  # n_slots -> dropped
+    n = perm.shape[0]
+    pos = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    kept_rank = jnp.sum((keep[:, None] & (pos[:, None] < pos[None, :]))
+                        .astype(jnp.int32), axis=0)
+    target = jnp.where(keep, kept_rank, n_slots)  # n_slots -> dropped
     sel = jnp.zeros((n_slots,), jnp.int32).at[target].set(
-        perm.astype(jnp.int32), mode="drop")
-    selm = jnp.arange(n_slots) < jnp.sum(k32)
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    selm = jnp.arange(n_slots) < jnp.sum(keep.astype(jnp.int32))
     return sel, selm
 
 
