@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ...config import Config
+from ...ops.gridops import smallest_k_indices, stable_compact_indices
 from ...utils import quaternion as quat
 from . import triangulation as tri
 from .propagation import PROP_TIER, propagate_tiered
@@ -143,8 +144,7 @@ def add_observations(state: FilterState, feat_ids, feat_uv, feat_mask) -> Filter
     new = feat_mask & ~matched
     new_rank = jnp.cumsum(new.astype(jnp.int32)) - 1  # (K,)
     n_new = jnp.sum(new.astype(jnp.int32))
-    free_pos = jnp.where(~table.valid, jnp.arange(M, dtype=jnp.int32), M)
-    free_sorted = jnp.sort(free_pos)  # first slots are free, ascending
+    free_sorted = stable_compact_indices(~table.valid, M)  # free slots asc
     tgt = jnp.where(new, free_sorted[jnp.clip(new_rank, 0, M - 1)], M)
 
     fid = table.fid.at[tgt].set(feat_ids, mode="drop")
@@ -263,9 +263,8 @@ def _remove_lost_once(state: FilterState, params: MsckfParams, config: Config,
     drop_short = lost & (obs_count < 3)
     cand = lost & (obs_count >= 3)
 
-    # map-order selection of up to L candidates
-    order = jnp.argsort(jnp.where(cand, table.seq, INT32_MAX))
-    sel = order[:L]
+    # map-order selection of up to L candidates (sort-free top-L)
+    sel = smallest_k_indices(jnp.where(cand, table.seq, INT32_MAX), L)
     sel_mask = cand[sel]
     n_overflow = jnp.maximum(jnp.sum(cand.astype(jnp.int32)) - L, 0).astype(jnp.int32)
 
@@ -438,8 +437,7 @@ def _prune_sized(state: FilterState, params: MsckfParams, config: Config,
     D = cap.state_dim
     r0, r1 = rm[0], rm[1]
     prune_overflow = n_two > Kp
-    order_sel = jnp.argsort(jnp.where(two, table.seq, INT32_MAX))
-    sel = order_sel[:Kp]
+    sel = smallest_k_indices(jnp.where(two, table.seq, INT32_MAX), Kp)
     sel_two = two[sel]
 
     # triangulate uninitialized selected features over ALL observations
@@ -541,10 +539,9 @@ def _prune_sized(state: FilterState, params: MsckfParams, config: Config,
     obs_mask = table.obs_mask.at[:, r0].set(False).at[:, r1].set(False)
 
     # compact the camera window + covariance: keep all slots except r0,r1
-    keep = jnp.where(
-        (jnp.arange(N) != r0) & (jnp.arange(N) != r1), jnp.arange(N), N
-    )
-    keep = jnp.sort(keep)[: N]  # kept positions ascending, pad N at tail
+    keep = stable_compact_indices(
+        (jnp.arange(N) != r0) & (jnp.arange(N) != r1), N
+    )  # kept positions ascending, pad N at tail
     keep_safe = jnp.clip(keep, 0, N - 1)
     live_new = jnp.arange(N) < (cams.count - 2)
 

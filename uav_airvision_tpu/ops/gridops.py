@@ -14,6 +14,37 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def smallest_k_indices(key, k: int):
+    """Indices of the k smallest (key, index) pairs, ascending — bit-equal to
+    ``jnp.argsort(key)[:k]`` (stable sort) for any int/float key.
+
+    Same O(n^2) pairwise construction as rank_in_cell: at the n ~ a-few-
+    hundred sizes used here, one fused (n, n) strict-order mask + row
+    reduction beats a bitonic sort network's ~log^2(n) sequential passes by
+    ~6x on v5e (scripts/exp_fe_cumulative.py)."""
+    n = key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    before = (key[:, None] < key[None, :]) | (
+        (key[:, None] == key[None, :]) & (idx[:, None] < idx[None, :])
+    )
+    rank = jnp.sum(before.astype(jnp.int32), axis=0)
+    return jnp.zeros((k,), jnp.int32).at[
+        jnp.where(rank < k, rank, k)
+    ].set(idx, mode="drop")
+
+
+def stable_compact_indices(mask, fill):
+    """Indices where ``mask`` is True, ascending, padded with ``fill`` — equal
+    to ``jnp.sort(jnp.where(mask, arange, fill))`` for fill >= n, without the
+    sort (one cumsum + scatter)."""
+    n = mask.shape[0]
+    m32 = mask.astype(jnp.int32)
+    rank = jnp.cumsum(m32) - m32  # exclusive prefix: my compacted position
+    return jnp.full((n,), fill, jnp.int32).at[
+        jnp.where(mask, rank, n)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
 def cell_of_points(pts, grid_row, grid_col, img_h, img_w):
     """Grid cell index of pixel points (reference get_grid_size +
     row*grid_col+col bucketing; int() truncation)."""
