@@ -467,36 +467,29 @@ def _prune_sized(state: FilterState, params: MsckfParams, config: Config,
     cqn = cams.q_null[rm]
     cpn = cams.p_null[rm]
 
-    def block_one(slot, is_proc):
-        def run(_):
-            obs2 = table.obs[slot][rm]
-            mask2 = table.obs_mask[slot][rm]
-            H, r, rows = feature_block(
-                cq, cp, cqn, cpn, obs2, mask2, table.position[slot],
-                state.gravity, params.R_cam0_cam1, params.t_cam0_cam1, D,
-            )
-            # columns land at the involved cameras' true positions
-            Hc = jnp.zeros((5, D), dtype)
-            Hc = Hc + dyn_update(
-                jnp.zeros((5, D), dtype), H[:, IMU_DIM : IMU_DIM + 6],
-                0, IMU_DIM + 6 * r0,
-            )
-            Hc = Hc + dyn_update(
-                jnp.zeros((5, D), dtype), H[:, IMU_DIM + 6 : IMU_DIM + 12],
-                0, IMU_DIM + 6 * r1,
-            )
-            return Hc, r, rows
+    def block_one(slot):
+        obs2 = table.obs[slot][rm]
+        mask2 = table.obs_mask[slot][rm]
+        H, r, rows = feature_block(
+            cq, cp, cqn, cpn, obs2, mask2, table.position[slot],
+            state.gravity, params.R_cam0_cam1, params.t_cam0_cam1, D,
+        )
+        # only the two involved cameras' 6-column blocks are nonzero
+        return H[:, IMU_DIM : IMU_DIM + 12], r, rows
 
-        def skip(_):
-            return (
-                jnp.zeros((5, D), dtype),
-                jnp.zeros((5,), dtype),
-                jnp.zeros((), jnp.int32),
-            )
-
-        return lax.cond(is_proc, run, skip, None)
-
-    H_blk, r_blk, rows_f = jax.vmap(block_one)(sel, proc_sel)
+    # Under vmap the old per-feature cond lowered to select (both branches
+    # ran anyway) and the per-feature column placement lowered to a scatter
+    # XLA serializes into a Kp-iteration while loop (measured ~0.75 ms per
+    # prune).  Compute compact (5, 12) blocks for ALL slots, mask, and place
+    # the columns with TWO whole-batch dynamic-update-slices at the shared
+    # (traced) camera offsets.
+    H12, r_blk, rows_f = jax.vmap(block_one)(sel)
+    H12 = jnp.where(proc_sel[:, None, None], H12, 0.0)
+    r_blk = jnp.where(proc_sel[:, None], r_blk, 0.0)
+    rows_f = jnp.where(proc_sel, rows_f, 0)
+    H_blk = jnp.zeros((Kp, 5, D), dtype)
+    H_blk = dyn_update(H_blk, H12[:, :, :6], 0, 0, IMU_DIM + 6 * r0)
+    H_blk = dyn_update(H_blk, H12[:, :, 6:], 0, 0, IMU_DIM + 6 * r1)
     gate_ok = gating_test_batch(
         H_blk, r_blk, jnp.where(proc_sel, rows_f, 0), state.cov,
         params.obs_noise, params.chi2_table,

@@ -176,6 +176,10 @@ def triangulate(views: TriangulationViews, tri: TriangulationConfig,
     cost0 = _total_cost(views, x0)
     eye3 = jnp.eye(3, dtype=dtype)
 
+    if tri.static_solve:
+        x = _triangulate_static(views, tri, x0, lambd0, cost0, eye3, active)
+        return _finish(views, x)
+
     # carry: (x, lambd, total_cost, delta_norm, outer, inner)
     def outer_cond(c):
         x, lam, cost, dnorm, outer, inner = c
@@ -215,13 +219,76 @@ def triangulate(views: TriangulationViews, tri: TriangulationConfig,
         dnorm0 = jnp.where(active, dnorm0, 0.0)  # inactive: loops never run
     init = (x0, lambd0, cost0, dnorm0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     x, _, _, _, _, _ = lax.while_loop(outer_cond, outer_body, init)
+    return _finish(views, x)
 
+
+def _finish(views: TriangulationViews, x):
+    dtype = views.z.dtype
     final = jnp.stack([x[0], x[1], jnp.ones((), dtype)]) / x[2]
     depths = jnp.einsum("nij,j->ni", views.R, final)[:, 2] + views.t[:, 2]
     # validity: positive depth in every observing camera
     ok = jnp.all(jnp.where(views.mask, depths > 0, True))
     pos_world = views.R_anchor @ final + views.t_anchor
     return pos_world, ok
+
+
+def _triangulate_static(views, tri, x0, lambd0, cost0, eye3, active):
+    """Result-identical straight-line form of the reference's nested LM
+    loops (see ``triangulate``).
+
+    The reference shares the inner damping-retry counter across outer
+    iterations, so at most ``inner_loop_max_iteration`` linear solves run in
+    TOTAL; solves group into "outer" segments that each start by recomputing
+    the normal equations at the current estimate and end when a solve
+    reduces the cost.  The flat recurrence below walks those (at most)
+    inner_max solve slots with masked updates: a slot that opens a new
+    segment first applies the outer-loop termination test (outer count /
+    delta-norm precision) and refreshes (A, b).  Spin iterations the
+    reference performs after the inner counter saturates never change the
+    estimate, so dropping them preserves the result exactly.
+    """
+    dtype = views.z.dtype
+    OMAX = tri.outer_loop_max_iteration
+    IMAX = tri.inner_loop_max_iteration
+    eps = tri.estimation_precision
+
+    x, lam, cost = x0, lambd0, cost0
+    dnorm = jnp.asarray(jnp.inf, dtype)
+    if active is not None:
+        dnorm = jnp.where(active, dnorm, 0.0)
+    alive = jnp.ones((), bool) if active is None else active
+    group_start = jnp.ones((), bool)
+    outer = jnp.zeros((), jnp.int32)
+    A = jnp.zeros((3, 3), dtype)
+    b = jnp.zeros((3,), dtype)
+
+    for _ in range(IMAX):
+        # segment boundary: outer-loop termination test + NE refresh
+        cond_ok = (outer < OMAX) & (dnorm > eps)
+        alive = alive & jnp.where(group_start, cond_ok, True)
+        start_now = alive & group_start
+        A_new, b_new = _normal_equations(views, x, tri.huber_epsilon)
+        A = jnp.where(start_now, A_new, A)
+        b = jnp.where(start_now, b_new, b)
+        outer = outer + start_now.astype(jnp.int32)
+
+        # one damped solve (the reference's inner_body), masked by ``alive``
+        delta = _solve3(A + lam * eye3, b)
+        x_new = x - delta
+        dnorm_new = jnp.linalg.norm(delta)
+        cost_new = _total_cost(views, x_new)
+        better = cost_new < cost
+        x = jnp.where(alive & better, x_new, x)
+        cost = jnp.where(alive & better, cost_new, cost)
+        lam = jnp.where(
+            alive,
+            jnp.where(better, jnp.maximum(lam / 10.0, 1e-10),
+                      jnp.minimum(lam * 10.0, 1e12)),
+            lam,
+        )
+        dnorm = jnp.where(alive, dnorm_new, dnorm)
+        group_start = jnp.where(alive, better, group_start)
+    return x
 
 
 def check_motion(views: TriangulationViews, obs_mask, first_z, tri: TriangulationConfig,
