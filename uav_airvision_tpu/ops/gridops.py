@@ -27,7 +27,7 @@ def smallest_k_indices(key, k: int):
     before = (key[:, None] < key[None, :]) | (
         (key[:, None] == key[None, :]) & (idx[:, None] < idx[None, :])
     )
-    rank = jnp.sum(before.astype(jnp.int32), axis=0)
+    rank = jnp.sum(before.astype(jnp.int32), axis=0, dtype=jnp.int32)
     return jnp.zeros((k,), jnp.int32).at[
         jnp.where(rank < k, rank, k)
     ].set(idx, mode="drop")
@@ -39,7 +39,7 @@ def stable_compact_indices(mask, fill):
     sort (one cumsum + scatter)."""
     n = mask.shape[0]
     m32 = mask.astype(jnp.int32)
-    rank = jnp.cumsum(m32) - m32  # exclusive prefix: my compacted position
+    rank = jnp.cumsum(m32, dtype=jnp.int32) - m32  # exclusive prefix: my compacted position
     return jnp.full((n,), fill, jnp.int32).at[
         jnp.where(mask, rank, n)
     ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
@@ -82,8 +82,8 @@ def rank_in_cell(cell, primary_desc, arrival, valid, n_cells):
     in_cell_before = (pj > pi) | tie_pa
     same = cj == ci
     before = (cj < ci) | (same & in_cell_before)
-    grank = jnp.sum(before.astype(jnp.int32), axis=0)
-    rank = jnp.sum((same & in_cell_before).astype(jnp.int32), axis=0)
+    grank = jnp.sum(before.astype(jnp.int32), axis=0, dtype=jnp.int32)
+    rank = jnp.sum((same & in_cell_before).astype(jnp.int32), axis=0, dtype=jnp.int32)
     perm = jnp.zeros((n,), jnp.int32).at[grank].set(idx)
     return rank, perm
 
@@ -116,14 +116,14 @@ def kept_order_stats(perm, keep, cell, valid, n_cells):
     # rank_in_cell): kept-rank of i = #{kept j sorting before i}.
     before = pos[:, None] < pos[None, :]
     kept_before = keep[:, None] & before
-    global_rank = jnp.sum(kept_before.astype(jnp.int32), axis=0)
+    global_rank = jnp.sum(kept_before.astype(jnp.int32), axis=0, dtype=jnp.int32)
     big_cell = jnp.where(valid, cell, n_cells)
     same = big_cell[:, None] == big_cell[None, :]
-    cell_rank = jnp.sum((kept_before & same).astype(jnp.int32), axis=0)
+    cell_rank = jnp.sum((kept_before & same).astype(jnp.int32), axis=0, dtype=jnp.int32)
     zero = jnp.zeros((n,), jnp.int32)
     global_rank = jnp.where(keep, global_rank, zero)
     cell_rank = jnp.where(keep, cell_rank, zero)
-    return global_rank, cell_rank, jnp.sum(keep.astype(jnp.int32))
+    return global_rank, cell_rank, jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
 
 def compact_kept(perm, keep, n_slots):
@@ -136,11 +136,11 @@ def compact_kept(perm, keep, n_slots):
     n = perm.shape[0]
     pos = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
     kept_rank = jnp.sum((keep[:, None] & (pos[:, None] < pos[None, :]))
-                        .astype(jnp.int32), axis=0)
+                        .astype(jnp.int32), axis=0, dtype=jnp.int32)
     target = jnp.where(keep, kept_rank, n_slots)  # n_slots -> dropped
     sel = jnp.zeros((n_slots,), jnp.int32).at[target].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")
-    selm = jnp.arange(n_slots) < jnp.sum(keep.astype(jnp.int32))
+    selm = jnp.arange(n_slots) < jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
     return sel, selm
 
 
@@ -171,7 +171,7 @@ def dense_grid_topk(score, grid_row, grid_col, k):
     idxs, vals = [], []
     work = cells
     for _ in range(k):
-        i = jnp.argmax(work, axis=1)
+        i = jnp.argmax(work, axis=1).astype(jnp.int32)
         v = jnp.take_along_axis(work, i[:, None], axis=1)[:, 0]
         work = work.at[jnp.arange(n_cells), i].set(neg)
         idxs.append(i)
@@ -180,8 +180,8 @@ def dense_grid_topk(score, grid_row, grid_col, k):
     vals = jnp.stack(vals, axis=1)
     cy = idx // cell_w
     cx = idx % cell_w
-    gr = jnp.arange(grid_row * grid_col) // grid_col
-    gc = jnp.arange(grid_row * grid_col) % grid_col
+    gr = jnp.arange(grid_row * grid_col, dtype=jnp.int32) // grid_col
+    gc = jnp.arange(grid_row * grid_col, dtype=jnp.int32) % grid_col
     ys = gr[:, None] * cell_h + cy
     xs = gc[:, None] * cell_w + cx
     return ys, xs, vals
