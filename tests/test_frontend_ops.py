@@ -24,6 +24,24 @@ def test_pyr_down_matches_cv2(textured):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def test_build_pyramid_matches_cv2_uint8(textured):
+    """build_pyramid's rounded levels must equal iterated cv2.pyrDown on
+    uint8 bit-for-bit (cv2's LK tracks on a uint8 pyramid; pyramid.py rounds
+    with the same (k + 128) >> 8 rule).  Integer levels are also what makes
+    bfloat16 band storage exact (config.frontend.band_bf16)."""
+    import jax
+
+    levels = jax.jit(lambda im: tuple(pyramid.build_pyramid(im, 3)))(
+        jnp.asarray(textured))
+    want = textured.copy()
+    for L in range(4):
+        got = np.asarray(levels[L])
+        np.testing.assert_array_equal(got, want.astype(np.float32),
+                                      err_msg=f"level {L}")
+        assert got.min() >= 0 and got.max() <= 255
+        want = cv2.pyrDown(want)
+
+
 def test_fast_matches_cv2(textured):
     det = cv2.FastFeatureDetector_create(15)
     kps = det.detect(textured)

@@ -152,6 +152,14 @@ class FrontendConfig:
     # a while_loop always runs to the batch-max trip count, so the static
     # form is never worse and drops the per-step reduction.
     lk_static_iters: bool = True
+    # Store the banded block tilings (ops/extract.py) as bfloat16.  Exact,
+    # not approximate: pyramid levels are integer-valued 0..255 (cv2 uint8
+    # pyrDown semantics, ops/pyramid.py) and bfloat16 represents them
+    # bit-perfectly; LK lifts windows back to float32 at the sampling
+    # matmul.  Halves the HBM traffic of the ~9x-replicated band arrays —
+    # the banding copies, the prev-pyramid scan carry, and every
+    # Gauss-Newton iteration's window reads.
+    band_bf16: bool = True
     # Iteration cap for pyramid levels > 0 (0 = use lk_max_iteration).
     # Upper levels only place the level-0 start inside its convergence
     # basin; they don't need level-0 precision.  Measured: 5 is +11% fps at

@@ -71,7 +71,8 @@ def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
         shapes.append((hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD))
         # pyr_down decimates [::2] -> ceil(n/2); must match for odd sizes
         hh, ww = (hh + 1) // 2, (ww + 1) // 2
-    pyr = extract.zeros_like_banded_pyramid(shapes, jnp.float32)
+    pyr = extract.zeros_like_banded_pyramid(
+        shapes, jnp.bfloat16 if config.frontend.band_bf16 else jnp.float32)
     return FrontendState(
         ids=jnp.full((F,), -1, jnp.int32),
         lifetime=jnp.zeros((F,), jnp.int32),
@@ -217,10 +218,13 @@ def frontend_step(
     # LK passes this frame — temporal, stereo fwd/bwd, for tracked features
     # and adder candidates alike — extract their windows from these shared
     # block tilings with one F-row gather each.
+    band_dtype = jnp.bfloat16 if fe.band_bf16 else None
     pyr0 = extract.band_pyramid(
-        pyramid.build_pyramid_padded(cam0_img, fe.pyramid_levels))
+        pyramid.build_pyramid_padded(cam0_img, fe.pyramid_levels),
+        dtype=band_dtype)
     pyr1 = extract.band_pyramid(
-        pyramid.build_pyramid_padded(cam1_img, fe.pyramid_levels))
+        pyramid.build_pyramid_padded(cam1_img, fe.pyramid_levels),
+        dtype=band_dtype)
 
     CAND_INIT = 8  # per-cell candidates on the first frame (see docstring)
     CAND_ADD = fe.grid_max_feature_num

@@ -69,9 +69,16 @@ def _n_bands(n, stride, bw):
     return max(1, -((n - bw) // -stride) + 1)
 
 
-def band_image(img, stride=BAND_STRIDE, bw=BAND_BW) -> BandedImage:
-    """Build the block tiling from (bw/stride)^2 static shifted slices."""
+def band_image(img, stride=BAND_STRIDE, bw=BAND_BW, dtype=None) -> BandedImage:
+    """Build the block tiling from (bw/stride)^2 static shifted slices.
+
+    ``dtype`` stores the blocks at a narrower type: the production pipeline
+    passes bfloat16 — pyramid levels are integer-valued 0..255 (cv2 uint8
+    semantics, ops/pyramid.py), which bfloat16 represents exactly, so the
+    ~9x-replicated block array costs half the HBM traffic for free."""
     assert bw % stride == 0, "bw must be a multiple of stride"
+    if dtype is not None:
+        img = img.astype(dtype)
     h, w = img.shape
     nbr = _n_bands(h, stride, bw)
     nbc = _n_bands(w, stride, bw)
@@ -127,13 +134,14 @@ class BandedPyramid:
         return cls(children[0], levels, stride, bw)
 
 
-def band_pyramid(level_imgs, stride=BAND_STRIDE, bw=BAND_BW) -> BandedPyramid:
+def band_pyramid(level_imgs, stride=BAND_STRIDE, bw=BAND_BW,
+                 dtype=None) -> BandedPyramid:
     """Band every pyramid level and concatenate the block arrays."""
     parts = []
     levels = []
     off = 0
     for img in level_imgs:
-        b = band_image(img, stride, bw)
+        b = band_image(img, stride, bw, dtype=dtype)
         parts.append(b.bands)
         levels.append((b.h, b.w, b.nbr, b.nbc, off))
         off += b.nbr * b.nbc

@@ -64,19 +64,23 @@ def _shift_extract(w64, ry, rx, n):
     """Per-feature integer shift: w64[f, ry[f]:ry[f]+n, rx[f]:rx[f]+n] as two
     one-hot permutation matmuls.  Bit-exact at HIGHEST precision (verified on
     v5e: 1.0*x plus exact zeros), and ~100x cheaper than the F*n-row gather
-    a vmapped dynamic_slice would emit."""
+    a vmapped dynamic_slice would emit.  bfloat16 inputs (integer-valued
+    bands) stay exact: one-hot products are 1.0 * v with v exactly
+    representable, accumulated in float32."""
     bw = w64.shape[-1]
+    out_dtype = jnp.promote_types(w64.dtype, jnp.float32)
     ar = jnp.arange(n, dtype=jnp.int32)
     ab = jnp.arange(bw, dtype=jnp.int32)
     Pr = (ry[:, None, None] + ar[None, :, None] == ab[None, None, :]).astype(w64.dtype)
     Pc = (rx[:, None, None] + ar[None, :, None] == ab[None, None, :]).astype(w64.dtype)
     t = lax.dot_general(
         Pr, w64, (((2,), (1,)), ((0,), (0,))),
-        precision=lax.Precision.HIGHEST, preferred_element_type=w64.dtype,
+        precision=lax.Precision.HIGHEST, preferred_element_type=out_dtype,
     )
     return lax.dot_general(
-        t, Pc, (((2,), (2,)), ((0,), (0,))),
-        precision=lax.Precision.HIGHEST, preferred_element_type=w64.dtype,
+        t.astype(w64.dtype) if w64.dtype != out_dtype else t,
+        Pc, (((2,), (2,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST, preferred_element_type=out_dtype,
     )
 
 
@@ -158,7 +162,7 @@ def _iterate_level(
     steps — the while_loop's cond is a cross-feature sync point that blocks
     XLA from pipelining the (tiny) per-step matmuls, and in practice one
     straggler keeps the loop at max trip count anyway."""
-    dtype = curr_bp.bands.dtype
+    dtype = jnp.promote_types(curr_bp.bands.dtype, jnp.float32)
     half = (win - 1) * 0.5
     HP, WP = curr_bp.levels[level][:2]
     H = HP - 2 * LK_PAD
@@ -214,8 +218,11 @@ def _iterate_level(
         Wrc = jax.vmap(lambda p: _bilinear_axis_weights(p, win, BW, dtype))(pyx)
         Wr = Wrc[: pts.shape[0]]
         Wc = Wrc[pts.shape[0]:]
+        # bands may be stored bfloat16 (exact integers); lift to the compute
+        # dtype at the point of use so the convert fuses into the sampling
+        # matmul and the HBM read stays narrow
         T1 = jax.lax.dot_general(
-            Wr, windows, (((2,), (1,)), ((0,), (0,))),
+            Wr, windows.astype(dtype), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=dtype,
         )  # (F, win, BW)
         J = jax.lax.dot_general(
@@ -320,7 +327,7 @@ def pyramidal_lk_banded(
     F = prev_pts.shape[0]
     n = win + 3
     half = (win - 1) * 0.5
-    dtype = prev_bp.bands.dtype
+    dtype = jnp.promote_types(prev_bp.bands.dtype, jnp.float32)
 
     # ---- template prep: ONE gather + level-batched processing -------------
     corners, idxs, rys, rxs, hws = [], [], [], [], []
@@ -412,9 +419,11 @@ def pyramidal_lk(
 ):
     """Raw-pyramid convenience wrapper: bands both pyramids, then tracks.
     Callers that reuse images across LK passes should band once and call
-    ``pyramidal_lk_banded`` (models/frontend/pipeline.py does)."""
+    ``pyramidal_lk_banded`` (models/frontend/pipeline.py does).  Bands at
+    bfloat16 like the production pipeline (exact: integer pyramid levels)."""
     return pyramidal_lk_banded(
-        band_pyramid(prev_levels), band_pyramid(curr_levels),
+        band_pyramid(prev_levels, dtype=jnp.bfloat16),
+        band_pyramid(curr_levels, dtype=jnp.bfloat16),
         prev_pts, init_next_pts, valid,
         win, max_iter, eps, min_eig_threshold,
     )

@@ -83,11 +83,20 @@ def pyr_down(img):
 
 
 def build_pyramid(img, levels: int) -> List[jnp.ndarray]:
-    """levels = LK maxLevel; returns levels+1 images (level 0 = input)."""
+    """levels = LK maxLevel; returns levels+1 images (level 0 = input).
+
+    Levels are rounded to integers exactly as cv2's 8-bit ``pyrDown`` does
+    ((k + 128) >> 8 on the fixed-point sum = round-half-up): cv2's LK tracks
+    on a uint8 pyramid, so integer levels both match the reference's actual
+    sampling AND make every pyramid value exactly representable in bfloat16
+    — which lets the banded block tilings (ops/extract.py) be stored at half
+    the HBM traffic with zero quantization error.  pyr_down's HIGHEST-precision
+    matmuls produce the exact dyadic rational k/256, so the rounding below is
+    the exact cv2 result (tested vs iterated cv2.pyrDown on uint8)."""
     img = img.astype(jnp.float32)
     pyr = [img]
     for _ in range(levels):
-        pyr.append(pyr_down(pyr[-1]))
+        pyr.append(jnp.floor(pyr_down(pyr[-1]) + 0.5))
     return pyr
 
 
