@@ -66,17 +66,20 @@ def stereo_jacobian_per_cam(cam_q, cam_p, cam_q_null, cam_p_null, p_w, z,
     inv_z0 = 1.0 / p_c0[2]
     inv_z1 = 1.0 / p_c1[2]
 
-    dz_dpc0 = jnp.zeros((4, 3), dtype)
-    dz_dpc0 = dz_dpc0.at[0, 0].set(inv_z0)
-    dz_dpc0 = dz_dpc0.at[1, 1].set(inv_z0)
-    dz_dpc0 = dz_dpc0.at[0, 2].set(-p_c0[0] * inv_z0 * inv_z0)
-    dz_dpc0 = dz_dpc0.at[1, 2].set(-p_c0[1] * inv_z0 * inv_z0)
-
-    dz_dpc1 = jnp.zeros((4, 3), dtype)
-    dz_dpc1 = dz_dpc1.at[2, 0].set(inv_z1)
-    dz_dpc1 = dz_dpc1.at[3, 1].set(inv_z1)
-    dz_dpc1 = dz_dpc1.at[2, 2].set(-p_c1[0] * inv_z1 * inv_z1)
-    dz_dpc1 = dz_dpc1.at[3, 2].set(-p_c1[1] * inv_z1 * inv_z1)
+    # stack/concat construction: .at[].set scatters lower to serialized
+    # dynamic-update-slice loops once this runs under the feature vmap
+    zero = jnp.zeros_like(inv_z0)
+    zrow = jnp.stack([zero, zero, zero])
+    dz_dpc0 = jnp.stack([
+        jnp.stack([inv_z0, zero, -p_c0[0] * inv_z0 * inv_z0]),
+        jnp.stack([zero, inv_z0, -p_c0[1] * inv_z0 * inv_z0]),
+        zrow, zrow,
+    ])
+    dz_dpc1 = jnp.stack([
+        zrow, zrow,
+        jnp.stack([inv_z1, zero, -p_c1[0] * inv_z1 * inv_z1]),
+        jnp.stack([zero, inv_z1, -p_c1[1] * inv_z1 * inv_z1]),
+    ])
 
     dpc0_dxc = jnp.concatenate([quat.skew(p_c0), -R_w_c0], axis=1)  # (3,6)
     dpc1_dxc = jnp.concatenate([R_c0c1 @ quat.skew(p_c0), -R_w_c1], axis=1)

@@ -27,14 +27,11 @@ ARC = 9  # FAST-9
 
 
 def _shifted(img, dy, dx):
-    """img shifted so that out[y, x] = img[y + dy, x + dx], zero padded."""
+    """img shifted so that out[y, x] = img[y + dy, x + dx], zero padded.
+    slice + pad (not .at[].set: a scatter XLA can't always fuse)."""
     H, W = img.shape
-    out = jnp.zeros_like(img)
-    ys = slice(max(dy, 0), H + min(dy, 0))
-    yd = slice(max(-dy, 0), H + min(-dy, 0))
-    xs = slice(max(dx, 0), W + min(dx, 0))
-    xd = slice(max(-dx, 0), W + min(-dx, 0))
-    return out.at[yd, xd].set(img[ys, xs])
+    src = img[max(dy, 0) : H + min(dy, 0), max(dx, 0) : W + min(dx, 0)]
+    return jnp.pad(src, ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))))
 
 
 def fast_score_map(img, threshold: int):
@@ -74,7 +71,10 @@ def fast_score_map(img, threshold: int):
     thr = jnp.asarray(threshold, jnp.bfloat16)
     corner = (bright_score > thr) | (dark_score > thr)
 
-    border = jnp.zeros((H, W), bool).at[3 : H - 3, 3 : W - 3].set(True)
+    ay = jnp.arange(H, dtype=jnp.int32)
+    ax = jnp.arange(W, dtype=jnp.int32)
+    border = (((ay >= 3) & (ay < H - 3))[:, None]
+              & ((ax >= 3) & (ax < W - 3))[None, :])
     corner = corner & border
     score = jnp.where(corner, score, 0)
     return corner, score
