@@ -160,6 +160,14 @@ class FrontendConfig:
     # the banding copies, the prev-pyramid scan carry, and every
     # Gauss-Newton iteration's window reads.
     band_bf16: bool = True
+    # Shift-extract each LK level's exact search span (win+1+2*LK_MARGIN =
+    # 32 px) out of its 48-px block before iterating (ops/lk.py::
+    # _iterate_level).  MEASURED WORSE and kept off: v5e tiles pad the
+    # minor dimension to 128 lanes, so shrinking the sampling matmuls
+    # 48->32 saves almost nothing while the two extra one-hot shift matmuls
+    # per level cost real time (bench 429.8 vs 435.6 fps), and it narrows
+    # the freeze margin to a uniform LK_MARGIN=8 px (vs 8..23 phase slack).
+    lk_compact_windows: bool = False
     # Iteration cap for pyramid levels > 0 (0 = use lk_max_iteration).
     # Upper levels only place the level-0 start inside its convergence
     # basin; they don't need level-0 precision.  Measured: 5 is +11% fps at

@@ -279,6 +279,7 @@ def frontend_step(
             win=fe.patch_size, max_iter=fe.lk_max_iteration,
             eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
             static_iters=fe.lk_static_iters,
+            compact_windows=fe.lk_compact_windows,
             max_iter_upper=fe.lk_max_iteration_upper or None,
         )
         st = st & (curr[:, 0] >= 0) & (curr[:, 0] <= W - 1) \

@@ -75,6 +75,7 @@ def stereo_match(
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
         n_levels=n_fwd,
         static_iters=fe.lk_static_iters,
+            compact_windows=fe.lk_compact_windows,
         max_iter_upper=fe.lk_max_iteration_upper or None,
     )
     # Backward pass for the fwd/bwd error gate.  Default: level 0 only — the
@@ -90,6 +91,7 @@ def stereo_match(
         eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
         n_levels=n_bwd,
         static_iters=fe.lk_static_iters,
+            compact_windows=fe.lk_compact_windows,
     )
 
     err = jnp.linalg.norm(cam0_pts - p0r, axis=-1)

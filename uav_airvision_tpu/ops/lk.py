@@ -147,6 +147,7 @@ def _iterate_level(
     curr_bp: BandedPyramid, level: int,
     next_pts_l, win, max_iter, eps2,
     static_iters: bool = False,
+    compact_windows: bool = False,
 ):
     """Gauss-Newton iterations of one pyramid level for all features.
     Points are in level coordinates.  Returns refined points.
@@ -194,6 +195,19 @@ def _iterate_level(
     windows, ry, rx = extract_pyr(curr_bp, level, des_y, des_x, need)
     oy = des_y - ry  # block origin (absolute padded coords)
     ox = des_x - rx
+
+    if compact_windows:
+        # Shift-extract the exact ``need``-sized search span out of the
+        # 48-block once (two one-hot matmuls, exact), shrinking every
+        # Gauss-Newton iteration's sampling matmuls 48 -> 32 per side.
+        # Default OFF: measured slower on v5e (lane tiling pads the minor
+        # dim to 128 either way, so the per-step saving is illusory while
+        # the shift matmuls are real), and the freeze margin narrows to a
+        # uniform LK_MARGIN (see config.frontend.lk_compact_windows).
+        w = _shift_extract(windows, ry, rx, need)  # (F, need, need) f32 exact
+        windows = w.astype(curr_bp.bands.dtype)  # integer-valued: cast exact
+        oy, ox = des_y, des_x
+        BW = need
 
     max_t = BW - (win + 1)
     # Per-feature sample-corner bounds: block rows/cols past the padded image
@@ -312,6 +326,7 @@ def pyramidal_lk_banded(
     n_levels: int | None = None,
     static_iters: bool = False,
     max_iter_upper: int | None = None,
+    compact_windows: bool = False,
 ):
     """Track prev_pts into the current (banded) pyramid.
     Returns (next_pts, status).
@@ -320,6 +335,8 @@ def pyramidal_lk_banded(
     line gated steps (see ``_iterate_level``).  ``max_iter_upper`` caps the
     iterations of levels > 0 separately (upper levels only place the level-0
     start within its convergence basin; they don't need level-0 precision).
+    ``compact_windows`` shift-extracts each level's exact search span before
+    iterating (see ``_iterate_level``).
     """
     eps2 = eps * eps
     if n_levels is None:
@@ -390,7 +407,7 @@ def pyramidal_lk_banded(
         it_l = max_iter if (L == 0 or max_iter_upper is None) else max_iter_upper
         pts_l = _iterate_level(
             tmpl, curr_bp, L, next_pts * (1.0 / (1 << L)), win, it_l, eps2,
-            static_iters=static_iters,
+            static_iters=static_iters, compact_windows=compact_windows,
         )
         next_pts = pts_l * (1 << L)
 
