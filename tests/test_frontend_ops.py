@@ -272,3 +272,31 @@ def test_detection_mask_matches_numpy_dilation():
             continue
         exp[max(iy - 3, 0): iy + 4, max(ix - 3, 0): ix + 4] = False
     assert np.array_equal(got, exp)
+
+
+def test_template_rows_carry_equivalence(textured):
+    """pyramidal_lk_banded(prev_rows=template_gather_rows(...)) must equal
+    the in-place gather from the previous pyramid bit-for-bit (the carried
+    rows ARE that gather, done one frame earlier)."""
+    import jax
+    from uav_airvision_tpu.ops import extract as ex
+
+    H, W = textured.shape
+    rng = np.random.default_rng(7)
+    M = np.float32([[1, 0, 2.2], [0, 1, -1.7]])
+    img2 = cv2.warpAffine(textured, M, (W, H), flags=cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_REFLECT_101)
+    pts = jnp.asarray(rng.uniform([20, 20], [300, 220], (40, 2)), jnp.float32)
+    valid = jnp.ones(40, bool)
+    bpA = ex.band_pyramid(pyramid.build_pyramid_padded(jnp.asarray(textured), 3),
+                          dtype=jnp.bfloat16)
+    bpB = ex.band_pyramid(pyramid.build_pyramid_padded(jnp.asarray(img2), 3),
+                          dtype=jnp.bfloat16)
+
+    ref_pts, ref_st = jax.jit(lambda a, b: lk.pyramidal_lk_banded(
+        a, b, pts, pts, valid))(bpA, bpB)
+    rows = jax.jit(lambda a: lk.template_gather_rows(a, pts))(bpA)
+    got_pts, got_st = jax.jit(lambda b, r: lk.pyramidal_lk_banded(
+        b, b, pts, pts, valid, prev_rows=r))(bpB, rows)
+    np.testing.assert_array_equal(np.asarray(got_pts), np.asarray(ref_pts))
+    np.testing.assert_array_equal(np.asarray(got_st), np.asarray(ref_st))

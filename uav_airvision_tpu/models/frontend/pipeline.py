@@ -46,7 +46,11 @@ class FrontendState(NamedTuple):
     cam1: jnp.ndarray  # (F,2)
     valid: jnp.ndarray  # (F,)
     next_id: jnp.ndarray  # () int32
-    prev_pyr: extract.BandedPyramid  # previous cam0 pyramid, all levels banded
+    # Template block rows of the previous cam0 pyramid at this state's cam0
+    # positions ((levels+1)*F, bw*bw; ops/lk.py::template_gather_rows):
+    # everything frame t+1's temporal LK needs from frame t, at ~1/5 the
+    # scan-carry bytes of the full banded pyramid it replaces.
+    prev_rows: jnp.ndarray
     initialized: jnp.ndarray  # () bool
 
 
@@ -63,16 +67,10 @@ class FrontendOutput(NamedTuple):
 
 def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
     F = config.capacity.max_features
-    w, h = config.calib.cam0_resolution
     levels = config.frontend.pyramid_levels
-    shapes = []
-    hh, ww = h, w
-    for _ in range(levels + 1):
-        shapes.append((hh + 2 * pyramid.LK_PAD, ww + 2 * pyramid.LK_PAD))
-        # pyr_down decimates [::2] -> ceil(n/2); must match for odd sizes
-        hh, ww = (hh + 1) // 2, (ww + 1) // 2
-    pyr = extract.zeros_like_banded_pyramid(
-        shapes, jnp.bfloat16 if config.frontend.band_bf16 else jnp.float32)
+    band_dtype = jnp.bfloat16 if config.frontend.band_bf16 else jnp.float32
+    rows = jnp.zeros(((levels + 1) * F, extract.BAND_BW * extract.BAND_BW),
+                     band_dtype)
     return FrontendState(
         ids=jnp.full((F,), -1, jnp.int32),
         lifetime=jnp.zeros((F,), jnp.int32),
@@ -80,7 +78,7 @@ def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
         cam1=jnp.zeros((F, 2), dtype),
         valid=jnp.zeros((F,), bool),
         next_id=jnp.zeros((), jnp.int32),
-        prev_pyr=pyr,
+        prev_rows=rows,
         initialized=jnp.zeros((), bool),
     )
 
@@ -275,7 +273,8 @@ def frontend_step(
         pred = camera.homography_warp_points(prev_pts, cam0_R_p_c,
                                              params.cam0_intrinsics)
         curr, st = lk.pyramidal_lk_banded(
-            state.prev_pyr, pyr0, prev_pts, pred, prev_valid,
+            pyr0, pyr0, prev_pts, pred, prev_valid,
+            prev_rows=state.prev_rows,
             win=fe.patch_size, max_iter=fe.lk_max_iteration,
             eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
             static_iters=fe.lk_static_iters,
@@ -420,7 +419,11 @@ def frontend_step(
     else:
         state2, counters = lax.cond(
             state.initialized, track_frame, first_frame, state)
-    state2 = state2._replace(prev_pyr=pyr0)
+    # Gather next frame's temporal-LK template rows NOW, while this frame's
+    # cam0 pyramid is live: the carry shrinks to the rows the next frame
+    # actually reads (byte-identical to gathering from a carried pyramid).
+    state2 = state2._replace(prev_rows=lk.template_gather_rows(
+        pyr0, state2.cam0, win=fe.patch_size, n_levels=fe.pyramid_levels + 1))
 
     ids, uv, mask = _normalize_publish(
         state2.ids, state2.lifetime, state2.cam0, state2.cam1, state2.valid,

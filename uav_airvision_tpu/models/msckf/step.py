@@ -408,14 +408,22 @@ def prune_cam_states(state: FilterState, params: MsckfParams, config: Config):
         two = table.valid & (k_inv == 2)
         n_two = jnp.sum(two.astype(jnp.int32))
 
-        # size tier: few features usually see both pruned cams; the small
-        # instantiation quarters the triangulation/Jacobian/gating batch
-        SMALL = 32
+        # size tiers: few features usually see both pruned cams; the small
+        # instantiations shrink the triangulation/Jacobian/gating batch
+        # (feature-dense scenes routinely land in the 33..64 band, which
+        # otherwise pays the full max_prune_feats batch)
+        SMALL, MID = 32, 64
         return lax.cond(
             n_two <= SMALL,
             lambda s: _prune_sized(s, params, config, rm, two, n_two, SMALL),
-            lambda s: _prune_sized(s, params, config, rm, two, n_two,
-                                   min(cap.max_prune_feats, M)),
+            lambda s: lax.cond(
+                n_two <= MID,
+                lambda t: _prune_sized(t, params, config, rm, two, n_two,
+                                       min(MID, M)),
+                lambda t: _prune_sized(t, params, config, rm, two, n_two,
+                                       min(cap.max_prune_feats, M)),
+                s,
+            ),
             state,
         )
 

@@ -313,6 +313,31 @@ def _iterate_level(
     return pts
 
 
+def template_gather_rows(bp: BandedPyramid, pts, win: int = 15,
+                         n_levels: int | None = None):
+    """ONE gather of the n_levels*F block rows covering each point's
+    (win+3)^2 template window — the deterministic gather prefix of
+    ``pyramidal_lk_banded``'s template prep (same corner math).
+
+    The frontend runs this on frame t's cam0 pyramid for the positions that
+    survive frame t and carries the (n_levels*F, bw*bw) result across the
+    scan instead of the whole banded pyramid (models/frontend/pipeline.py):
+    the temporal LK of frame t+1 then passes it as ``prev_rows``, the gather
+    cost moves (not grows), and the scan carry shrinks ~5x."""
+    if n_levels is None:
+        n_levels = bp.n_levels
+    n = win + 3
+    half = (win - 1) * 0.5
+    idxs = []
+    for L in range(n_levels):
+        c = pts * (1.0 / (1 << L)) - half + LK_PAD
+        fy = jnp.floor(c[:, 1]).astype(jnp.int32) - 1
+        fx = jnp.floor(c[:, 0]).astype(jnp.int32) - 1
+        idx, _, _ = block_of(bp, L, fy, fx, n)
+        idxs.append(idx)
+    return bp.bands[jnp.concatenate(idxs)]
+
+
 def pyramidal_lk_banded(
     prev_bp: BandedPyramid,
     curr_bp: BandedPyramid,
@@ -327,6 +352,7 @@ def pyramidal_lk_banded(
     static_iters: bool = False,
     max_iter_upper: int | None = None,
     compact_windows: bool = False,
+    prev_rows: jnp.ndarray | None = None,
 ):
     """Track prev_pts into the current (banded) pyramid.
     Returns (next_pts, status).
@@ -336,7 +362,11 @@ def pyramidal_lk_banded(
     iterations of levels > 0 separately (upper levels only place the level-0
     start within its convergence basin; they don't need level-0 precision).
     ``compact_windows`` shift-extracts each level's exact search span before
-    iterating (see ``_iterate_level``).
+    iterating (see ``_iterate_level``).  ``prev_rows`` supplies the template
+    block rows pre-gathered by ``template_gather_rows`` on an earlier frame
+    (byte-identical to gathering from ``prev_bp`` here); ``prev_bp`` is then
+    only read for its static level metadata, so callers may pass the current
+    pyramid in its place.
     """
     eps2 = eps * eps
     if n_levels is None:
@@ -359,7 +389,10 @@ def pyramidal_lk_banded(
         rxs.append(rx)
         hws.append(prev_bp.levels[L][:2])
     c_cat = jnp.concatenate(corners)  # (LF, 2)
-    rows = prev_bp.bands[jnp.concatenate(idxs)]  # ONE gather, L*F rows
+    if prev_rows is not None:
+        rows = prev_rows  # pre-gathered on the source frame, same order
+    else:
+        rows = prev_bp.bands[jnp.concatenate(idxs)]  # ONE gather, L*F rows
     raw = _shift_extract(
         rows.reshape(-1, prev_bp.bw, prev_bp.bw),
         jnp.concatenate(rys), jnp.concatenate(rxs), n,
