@@ -99,12 +99,16 @@ def main():
     mparams = make_params(config)
     state0 = init_vio_state(config, pb.gyro_bias, pb.acc_mean, mparams)
 
-    # warmup / compile
+    # warmup / compile.  HARD sync via a value fetch: on the axon tunnel a
+    # cold (compiling) call's block_until_ready returns immediately — only a
+    # device_get actually waits — so blocking here would let the warmup leak
+    # into the timed window (measured: block 0.003s vs fetch 251s cold;
+    # warm blocks are fine).
     state, outs = run_sequence(config, frames, pb.gyro_bias, pb.acc_mean,
                                mparams=mparams, state=state0)
-    outs.p.block_until_ready()
+    np.asarray(outs.p[-1])
 
-    # timed run
+    # timed run (warm: block_until_ready is reliable here)
     t0 = time.time()
     state, outs = run_sequence(config, frames, pb.gyro_bias, pb.acc_mean,
                                mparams=mparams, state=state0)

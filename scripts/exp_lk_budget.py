@@ -54,7 +54,8 @@ def build(base_cfg, n_frames):
 def run_variant(label, cfg, frames, pb, fts, world):
     t0 = time.time()
     state, outs = run_sequence(cfg, frames, pb.gyro_bias, pb.acc_mean)
-    jax.block_until_ready(outs.p)
+    # HARD sync: cold block_until_ready returns early on axon; fetch
+    np.asarray(outs.p[-1])
     compile_s = time.time() - t0
     t0 = time.time()
     state, outs = run_sequence(cfg, frames, pb.gyro_bias, pb.acc_mean)
@@ -80,10 +81,11 @@ def main():
 
     variants = [
         ("baseline (r3 defaults, bwd5)", base),
-        ("bwd uncapped (pre-r3 backward)", fe(base, stereo_bwd_max_iter=0)),
-        ("bwd3", fe(base, stereo_bwd_max_iter=3)),
-        ("max8 (L0 cap 10->8)", fe(base, lk_max_iteration=8)),
-        ("max8 + bwd3", fe(base, lk_max_iteration=8, stereo_bwd_max_iter=3)),
+        ("tseed L2", fe(base, temporal_seeded=True, temporal_seeded_levels=2)),
+        ("tseed L2 nofall", fe(base, temporal_seeded=True,
+                               temporal_seeded_levels=2,
+                               temporal_seed_fallback=False)),
+        ("tseed L3", fe(base, temporal_seeded=True, temporal_seeded_levels=3)),
     ]
     for label, cfg in variants:
         run_variant(label, cfg, frames, pb, fts, world)

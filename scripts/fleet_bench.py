@@ -69,7 +69,9 @@ def main():
                 return lax.scan(body, state, bf)
 
             out = run(state, bframes)
-            jax.block_until_ready(out)
+            # HARD sync (cold block_until_ready returns early on axon)
+            for leaf in jax.tree_util.tree_leaves(out):
+                jax.device_get(leaf.ravel()[:1])
             t0 = time.perf_counter()
             out = run(state, bframes)
             jax.block_until_ready(out)

@@ -28,7 +28,11 @@ def scan_time(make_body, init_carry, reps, label):
 
     f = jax.jit(scanned)
     out = f(init_carry)
-    jax.block_until_ready(out)
+    # HARD sync: a cold call's block_until_ready returns early on axon —
+    # fetch one element of every leaf so the warmup cannot leak into the
+    # timed window (warm-call blocks below are reliable).
+    for leaf in jax.tree_util.tree_leaves(out):
+        jax.device_get(leaf.ravel()[:1])
     t0 = time.perf_counter()
     out = f(init_carry)
     jax.block_until_ready(out)
