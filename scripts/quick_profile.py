@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Focused scan-amortized profile: the few stages that matter for the fps
+budget (frontend_step, backend_step, and the three LK passes), with far
+fewer compiles than scan_profile.py.  Usage: quick_profile.py [reps] [stages]
+where stages is a comma set from {fe,be,lk,stereo,detect}.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_uav"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def scan_time(make_body, init_carry, reps, label):
+    def scanned(carry):
+        def body(c, _):
+            return make_body(c), None
+        out, _ = lax.scan(body, carry, None, length=reps)
+        return out
+
+    f = jax.jit(scanned)
+    out = f(init_carry)
+    for leaf in jax.tree_util.tree_leaves(out):
+        jax.device_get(leaf.ravel()[:1])
+    t0 = time.perf_counter()
+    out = f(init_carry)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / reps * 1000
+    print(f"{label:28s} {ms:8.3f} ms/iter", flush=True)
+    return ms
+
+
+if __name__ == "__main__":
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    stages = set((sys.argv[2] if len(sys.argv) > 2 else
+                  "fe,be,lk,stereo,detect").split(","))
+
+    from uav_airvision_tpu.config import euroc_config
+    from uav_airvision_tpu.models.frontend.params import make_frontend_params
+    from uav_airvision_tpu.models.frontend.pipeline import (
+        frontend_step, init_frontend_state, _detection_candidates,
+    )
+    from uav_airvision_tpu.models.frontend.stereo import stereo_match
+    from uav_airvision_tpu.models.msckf.state import make_params, init_state
+    from uav_airvision_tpu.models.msckf import step as bstep
+    from uav_airvision_tpu.ops import pyramid, lk, extract as ex
+
+    cfg = euroc_config()
+    fparams = make_frontend_params(cfg)
+    mparams = make_params(cfg)
+    cap = cfg.capacity
+
+    rng = np.random.default_rng(0)
+    H, W = 480, 752
+    img0 = jnp.asarray(rng.integers(0, 255, (H, W), dtype=np.uint8))
+    img1 = jnp.asarray(rng.integers(0, 255, (H, W), dtype=np.uint8))
+    print(f"device: {jax.devices()[0]}   reps={reps}", flush=True)
+
+    band_dtype = jnp.bfloat16 if cfg.frontend.band_bf16 else None
+    pyr_f = jax.jit(lambda im: ex.band_pyramid(
+        pyramid.build_pyramid_padded(im, 3), dtype=band_dtype))
+    pyrA = jax.block_until_ready(pyr_f(img0))
+    pyrB = jax.block_until_ready(pyr_f(img1))
+    F = cap.max_features
+    pts0 = jnp.asarray(rng.uniform([20, 20], [730, 460], (F, 2)), jnp.float32)
+    valid = jnp.ones(F, bool)
+    fe = cfg.frontend
+
+    if "lk" in stages:
+        def lk_body(c):
+            pts, _ = lk.pyramidal_lk_banded(
+                pyrA, pyrB, c, c, valid,
+                win=fe.patch_size, max_iter=fe.lk_max_iteration,
+                static_iters=fe.lk_static_iters,
+                max_iter_upper=fe.lk_max_iteration_upper or None)
+            return jnp.clip(pts, 20.0, 460.0)
+
+        scan_time(lk_body, pts0, reps, f"temporal LK ({F} pts, 4 lvl)")
+
+    B2 = F + fe.grid_num * fe.grid_max_feature_num
+    pts2 = jnp.asarray(rng.uniform([20, 20], [730, 460], (B2, 2)), jnp.float32)
+
+    if "stereo" in stages:
+        def stereo_body(c):
+            p1, inl = stereo_match(pyrA, pyrB, c, jnp.ones(B2, bool), fparams,
+                                   cfg, init_cam1=c, init_ok=jnp.ones(B2, bool),
+                                   n_fwd_levels=fe.stereo_seeded_levels)
+            return jnp.clip(p1, 20.0, 460.0)
+
+        scan_time(stereo_body, pts2, reps, f"stereo seeded ({B2} pts)")
+
+    if "detect" in stages:
+        def det_body(c):
+            pts, vals, arr, vmask = _detection_candidates(c, None, cfg, 5)
+            return c + jnp.sum(pts) * 1e-12
+
+        scan_time(det_body, img0.astype(jnp.float32), reps, "detect candidates")
+
+    if "fe" in stages:
+        fe0 = init_frontend_state(cfg)
+        fe_f = jax.jit(lambda st: frontend_step(
+            st, img0, img1, jnp.zeros(3), jnp.asarray(0.05), fparams, cfg)[0])
+        fe1 = fe_f(fe0)
+        jax.device_get(fe1.cam0.ravel()[:1])
+
+        def fe_body(c):
+            c2, _ = frontend_step(c, img0, img1, jnp.zeros(3),
+                                  jnp.asarray(0.05), fparams, cfg)
+            return c2
+
+        scan_time(fe_body, fe1, reps, "frontend_step")
+
+    if "be" in stages:
+        state = init_state(cfg, mparams, np.zeros(3), np.array([0.05, 0.02, 9.8]))
+        K, I = cap.max_features, cap.max_imu_per_frame
+
+        def mkframe(t, nf=100, nimu=10):
+            imu_t = np.zeros(I)
+            imu_t[:nimu] = t - 0.05 + np.arange(1, nimu + 1) * 0.005
+            ids = np.full(K, -1, np.int32)
+            ids[:nf] = np.arange(nf) + int(t * 20) % 7
+            uv = np.zeros((K, 4))
+            uv[:nf] = rng.normal(0, 0.2, (nf, 4))
+            return bstep.FrameInput(
+                timestamp=jnp.asarray(t, jnp.float32),
+                imu_t=jnp.asarray(imu_t, jnp.float32),
+                imu_w=jnp.asarray(rng.normal(0, 0.01, (I, 3)), jnp.float32),
+                imu_a=jnp.asarray(rng.normal(0, 0.01, (I, 3)) + [0, 0, 9.8],
+                                  jnp.float32),
+                imu_mask=jnp.asarray(np.arange(I) < nimu),
+                feat_ids=jnp.asarray(ids),
+                feat_uv=jnp.asarray(uv, jnp.float32),
+                feat_mask=jnp.asarray(np.arange(K) < nf),
+                active=jnp.asarray(True),
+            )
+
+        be_f = jax.jit(lambda st, fr: bstep.backend_step(st, fr, mparams, cfg)[0])
+        t = 0.0
+        for k in range(25):
+            t += 0.05
+            state = be_f(state, mkframe(t))
+        jax.device_get(state.imu.p.ravel()[:1])
+        frame = mkframe(t + 0.05)
+
+        def be_body(c):
+            st, ts = c
+            fr = frame._replace(
+                timestamp=ts + 0.05,
+                imu_t=jnp.where(frame.imu_mask,
+                                frame.imu_t - frame.timestamp + ts + 0.05, 0.0),
+            )
+            st2, _ = bstep.backend_step(st, fr, mparams, cfg)
+            return (st2, ts + 0.05)
+
+        scan_time(be_body, (state, frame.timestamp), reps, "backend_step")
