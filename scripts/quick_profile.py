@@ -66,42 +66,54 @@ if __name__ == "__main__":
     img1 = jnp.asarray(rng.integers(0, 255, (H, W), dtype=np.uint8))
     print(f"device: {jax.devices()[0]}   reps={reps}", flush=True)
 
-    band_dtype = jnp.bfloat16 if cfg.frontend.band_bf16 else None
+    fe = cfg.frontend
+    band_dtype = jnp.bfloat16 if fe.band_bf16 else None
     pyr_f = jax.jit(lambda im: ex.band_pyramid(
-        pyramid.build_pyramid_padded(im, 3), dtype=band_dtype))
+        pyramid.build_pyramid_padded(im, fe.pyramid_levels), dtype=band_dtype))
     pyrA = jax.block_until_ready(pyr_f(img0))
     pyrB = jax.block_until_ready(pyr_f(img1))
     F = cap.max_features
-    pts0 = jnp.asarray(rng.uniform([20, 20], [730, 460], (F, 2)), jnp.float32)
+    LO = jnp.asarray([20.0, 20.0])
+    HI = jnp.asarray([float(W) - 22.0, float(H) - 20.0])
+    pts0 = jnp.asarray(rng.uniform([20, 20], [W - 22, H - 20], (F, 2)),
+                       jnp.float32)
     valid = jnp.ones(F, bool)
-    fe = cfg.frontend
 
     if "lk" in stages:
+        # Mirror the production temporal-LK call (pipeline.py track_frame):
+        # carried template rows + configured eps/min_eig/compaction.
         def lk_body(c):
+            rows = lk.template_gather_rows(pyrA, c, win=fe.patch_size)
             pts, _ = lk.pyramidal_lk_banded(
                 pyrA, pyrB, c, c, valid,
+                prev_rows=rows,
                 win=fe.patch_size, max_iter=fe.lk_max_iteration,
+                eps=fe.lk_track_precision,
+                min_eig_threshold=fe.lk_min_eig_threshold,
                 static_iters=fe.lk_static_iters,
+                compact_windows=fe.lk_compact_windows,
                 max_iter_upper=fe.lk_max_iteration_upper or None)
-            return jnp.clip(pts, 20.0, 460.0)
+            return jnp.clip(pts, LO, HI)
 
         scan_time(lk_body, pts0, reps, f"temporal LK ({F} pts, 4 lvl)")
 
     B2 = F + fe.grid_num * fe.grid_max_feature_num
-    pts2 = jnp.asarray(rng.uniform([20, 20], [730, 460], (B2, 2)), jnp.float32)
+    pts2 = jnp.asarray(rng.uniform([20, 20], [W - 22, H - 20], (B2, 2)),
+                       jnp.float32)
 
     if "stereo" in stages:
         def stereo_body(c):
             p1, inl = stereo_match(pyrA, pyrB, c, jnp.ones(B2, bool), fparams,
                                    cfg, init_cam1=c, init_ok=jnp.ones(B2, bool),
                                    n_fwd_levels=fe.stereo_seeded_levels)
-            return jnp.clip(p1, 20.0, 460.0)
+            return jnp.clip(p1, LO, HI)
 
         scan_time(stereo_body, pts2, reps, f"stereo seeded ({B2} pts)")
 
     if "detect" in stages:
         def det_body(c):
-            pts, vals, arr, vmask = _detection_candidates(c, None, cfg, 5)
+            pts, vals, arr, vmask = _detection_candidates(
+                c, None, cfg, fe.grid_max_feature_num)
             return c + jnp.sum(pts) * 1e-12
 
         scan_time(det_body, img0.astype(jnp.float32), reps, "detect candidates")
@@ -154,10 +166,17 @@ if __name__ == "__main__":
 
         def be_body(c):
             st, ts = c
+            # Rotate the id window 5 ids/frame so ~5 tracks drop and ~5 new
+            # ones appear each step — exercises the lost-track measurement
+            # update every frame instead of only via cam-state pruning.
+            step_i = jnp.round(ts / 0.05).astype(jnp.int32)
+            ids = jnp.where(frame.feat_mask,
+                            jnp.arange(K, dtype=jnp.int32) + step_i * 5, -1)
             fr = frame._replace(
                 timestamp=ts + 0.05,
                 imu_t=jnp.where(frame.imu_mask,
                                 frame.imu_t - frame.timestamp + ts + 0.05, 0.0),
+                feat_ids=ids,
             )
             st2, _ = bstep.backend_step(st, fr, mparams, cfg)
             return (st2, ts + 0.05)

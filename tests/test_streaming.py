@@ -209,3 +209,75 @@ def test_run_sequence_checkpointed_resumes_bit_identical(tmp_path):
                                   np.asarray(ref_outs.p[8:]))
     np.testing.assert_array_equal(np.asarray(outs2.q),
                                   np.asarray(ref_outs.q[8:]))
+
+
+# ---------------------------------------------------------------------------
+# DataPublisher pacing / sentinel semantics (pure host, no jax)
+# ---------------------------------------------------------------------------
+
+
+class _MsgStream:
+    def __init__(self, timestamps, starttime=0.0):
+        from collections import namedtuple
+
+        msg = namedtuple("msg", ["timestamp"])
+        self.msgs = [msg(t) for t in timestamps]
+        self.starttime = starttime
+
+    def __iter__(self):
+        return iter(self.msgs)
+
+
+def _drain(q):
+    out = []
+    while not q.empty():
+        out.append(q.get_nowait())
+    return out
+
+
+def test_publisher_paces_orders_and_terminates():
+    import time
+    from queue import Queue
+
+    from uav_airvision_tpu.streaming.publisher import DataPublisher
+
+    q = Queue()
+    # 0.3 s of dataset time at 10x => ~30 ms wall; one pre-start msg dropped.
+    pub = DataPublisher(_MsgStream([-0.5, 0.0, 0.1, 0.2, 0.3]), q, ratio=10.0)
+    t0 = time.time()
+    pub.start(t0)
+    pub.publish_thread.join(timeout=5.0)
+    wall = time.time() - t0
+    out = _drain(q)
+    assert [m.timestamp for m in out[:-1]] == [0.0, 0.1, 0.2, 0.3]
+    assert out[-1] is None
+    # paced: the 0.3 s-relative message may not arrive before 0.3/10 s
+    assert wall >= 0.3 / 10.0 - 2e-3
+    assert wall < 2.0
+
+
+def test_publisher_duration_cutoff_and_stop():
+    import time
+    from queue import Queue
+
+    from uav_airvision_tpu.streaming.publisher import DataPublisher
+
+    q = Queue()
+    pub = DataPublisher(_MsgStream([0.0, 0.05, 10.0]), q, duration=0.1, ratio=100.0)
+    pub.start(time.time())
+    pub.publish_thread.join(timeout=5.0)
+    out = _drain(q)
+    assert [m.timestamp for m in out[:-1]] == [0.0, 0.05]
+    assert out[-1] is None  # duration exceeded => sentinel, stream ends
+
+    # stop() interrupts a far-future deadline promptly and adds a sentinel
+    q2 = Queue()
+    pub2 = DataPublisher(_MsgStream([0.0, 1000.0]), q2, ratio=1.0)
+    pub2.start(time.time())
+    time.sleep(0.05)
+    t_stop = time.time()
+    pub2.stop()
+    assert time.time() - t_stop < 1.0
+    out2 = _drain(q2)
+    assert out2[0].timestamp == 0.0
+    assert out2[-1] is None
