@@ -62,6 +62,7 @@ class StepOutput(NamedTuple):
     n_cams: jnp.ndarray  # () int32
     n_features: jnp.ndarray  # () int32
     n_lost_overflow: jnp.ndarray  # () int32 — lost features beyond capacity
+    n_update_rows: jnp.ndarray  # () int32 — lost-feature update rows (tier diag)
     # IMU-cam0 extrinsics snapshot: lets a streaming publisher compute the
     # cam0 pose without touching the (donated) filter state buffers
     R_imu_cam0: jnp.ndarray  # (3,3)
@@ -210,6 +211,13 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
     SMALL = 16
     n_cand = _count_lost_candidates(state)
 
+    def none(st):
+        # No >=3-obs lost candidates this frame — the common steady-state
+        # case (median 0 on the bench world).  Only the <3-obs drops happen;
+        # the whole triangulate/Jacobian/gate/solve chain is skipped.
+        zero = jnp.zeros((), jnp.int32)
+        return _drop_lost_short(st), jnp.zeros((), bool), zero, zero
+
     def small(st):
         return _remove_lost_once(st, params, config,
                                  jnp.asarray(1500, jnp.int32), SMALL)
@@ -219,7 +227,9 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
                                  jnp.asarray(1500, jnp.int32),
                                  config.capacity.max_lost_per_frame)
 
-    state, warn1, n_over1, rows1 = lax.cond(n_cand <= SMALL, small, big, state)
+    state, warn1, n_over1, rows1 = lax.cond(
+        n_cand == 0, none,
+        lambda st: lax.cond(n_cand <= SMALL, small, big, st), state)
 
     def second(st):
         st2, w2, n2, _ = _remove_lost_once(
@@ -231,7 +241,28 @@ def remove_lost_features(state: FilterState, params: MsckfParams, config: Config
         return st, jnp.zeros((), bool), jnp.zeros((), jnp.int32)
 
     state, warn2, n_over2 = lax.cond(n_over1 > 0, second, skip, state)
-    return state, warn1 | warn2, n_over2
+    return state, warn1 | warn2, n_over2, rows1
+
+
+def _drop_lost_short(state: FilterState) -> FilterState:
+    """Delete lost features with <3 observations (no measurement value) —
+    exactly what ``_remove_lost_once`` does when there are zero >=3-obs
+    candidates, minus the dead triangulate/gate/update work."""
+    table = state.features
+    M = table.fid.shape[0]
+    cslot = state.cams.count - 1
+    seen_now = jnp.take_along_axis(
+        table.obs_mask, jnp.full((M, 1), cslot), axis=1)[:, 0]
+    obs_count = jnp.sum(table.obs_mask.astype(jnp.int32), axis=1)
+    remove = table.valid & ~seen_now & (obs_count < 3)
+    table = table._replace(
+        valid=table.valid & ~remove,
+        fid=jnp.where(remove, -1, table.fid),
+        seq=jnp.where(remove, INT32_MAX, table.seq),
+        obs_mask=table.obs_mask & ~remove[:, None],
+        initialized=table.initialized & ~remove,
+    )
+    return state._replace(features=table)
 
 
 def _count_lost_candidates(state: FilterState):
@@ -362,7 +393,8 @@ def _remove_lost_once(state: FilterState, params: MsckfParams, config: Config,
         obs_mask=table.obs_mask & ~remove[:, None],
         initialized=table.initialized & ~remove,
     )
-    return state._replace(features=table), warn, n_overflow, rows_total
+    return (state._replace(features=table), warn, n_overflow,
+            rows_total.astype(jnp.int32))  # int32 even under x64 (cond parity)
 
 
 # ---------------------------------------------------------------------------
@@ -640,7 +672,7 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
         state = augment_state(state, frame.timestamp)
         state = add_observations(state, frame.feat_ids, frame.feat_uv,
                                  frame.feat_mask)
-        state, warn1, n_overflow = remove_lost_features(state, params, config)
+        state, warn1, n_overflow, urows = remove_lost_features(state, params, config)
         state, warn2 = prune_cam_states(state, params, config)
 
         out = StepOutput(
@@ -654,6 +686,7 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
             n_cams=state.cams.count,
             n_features=jnp.sum(state.features.valid.astype(jnp.int32)).astype(jnp.int32),
             n_lost_overflow=n_overflow,
+            n_update_rows=urows.astype(jnp.int32),
             R_imu_cam0=state.imu.R_imu_cam0,
             t_cam0_imu=state.imu.t_cam0_imu,
         )
@@ -674,6 +707,7 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
             n_cams=state.cams.count,
             n_features=jnp.zeros((), jnp.int32),
             n_lost_overflow=jnp.zeros((), jnp.int32),
+            n_update_rows=jnp.zeros((), jnp.int32),
             R_imu_cam0=state.imu.R_imu_cam0,
             t_cam0_imu=state.imu.t_cam0_imu,
         )
@@ -802,11 +836,20 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
             )(st)
         return run
 
+    def rl_none(st):
+        B = n_cand.shape[0]
+        zero = jnp.zeros((B,), jnp.int32)
+        return (jax.vmap(_drop_lost_short)(st), jnp.zeros((B,), bool), zero,
+                zero)
+
     rstate, warn1, n_over1, rows1 = lax.cond(
-        lean_ok, rl(SMALL_LOST, "t1", "small"),
-        lambda st: lax.cond(
-            mid_ok, rl(SMALL_LOST, "t2", "full"),
-            rl(cap.max_lost_per_frame, "full", "full"), st),
+        jnp.max(n_cand) == 0, rl_none,
+        lambda st0: lax.cond(
+            lean_ok, rl(SMALL_LOST, "t1", "small"),
+            lambda st: lax.cond(
+                mid_ok, rl(SMALL_LOST, "t2", "full"),
+                rl(cap.max_lost_per_frame, "full", "full"), st),
+            st0),
         rstate,
     )
 
@@ -864,6 +907,7 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
             n_features=jnp.sum(
                 state.features.valid.astype(jnp.int32)).astype(jnp.int32),
             n_lost_overflow=jnp.zeros((), jnp.int32),
+            n_update_rows=jnp.zeros((), jnp.int32),
             R_imu_cam0=state.imu.R_imu_cam0,
             t_cam0_imu=state.imu.t_cam0_imu,
         )
@@ -871,7 +915,8 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
         return state, out._replace(did_reset=did_reset)
 
     rstate, rout = jax.vmap(finish)(rstate, bframe, warn_lost | warn3)
-    rout = rout._replace(n_lost_overflow=n_over2)
+    rout = rout._replace(n_lost_overflow=n_over2,
+                         n_update_rows=rows1.astype(jnp.int32))
 
     # inactive instances keep their previous state and publish the skip row
     def inactive_out(state, frame):
@@ -887,6 +932,7 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
             n_cams=state.cams.count,
             n_features=jnp.zeros((), jnp.int32),
             n_lost_overflow=jnp.zeros((), jnp.int32),
+            n_update_rows=jnp.zeros((), jnp.int32),
             R_imu_cam0=state.imu.R_imu_cam0,
             t_cam0_imu=state.imu.t_cam0_imu,
         )

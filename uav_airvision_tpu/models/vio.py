@@ -129,21 +129,125 @@ def make_jitted_step(config: Config, fparams=None, mparams=None):
     )), fparams, mparams
 
 
+# ---------------------------------------------------------------------------
+# packed scan I/O
+#
+# A lax.scan slices every input leaf and stacks every output leaf ONCE PER
+# ITERATION; with VioFrame's ~10 leaves and StepOutput's ~16, those tiny
+# dynamic-slice / dynamic-update-slice ops cost more per frame than entire
+# pipeline stages (measured: the fused step scans at 1.74 ms/frame with
+# constant inputs vs 2.26 through the leaf-wise scan — ~0.5 ms of pure scan
+# I/O overhead).  The runner therefore packs each frame's scalar/IMU fields
+# into ONE (6+8I,) f32 vector (same layout the streaming path sends over the
+# tunnel) and both images into one (2,H,W) stack, and flattens StepOutput to
+# ONE (29,) f32 vector per frame — 3 sliced leaves + 1 stacked leaf per
+# iteration.  Packing/unpacking is value-exact: every field is f32 already
+# or a small int/bool representable exactly in f32.
+# ---------------------------------------------------------------------------
+
+
+def frame_vec_dim(I: int) -> int:
+    return 6 + 8 * I
+
+
+def pack_frames_batch(frames: VioFrame):
+    """(T,...)-leaf VioFrame -> ((T,2,H,W) uint8, (T,6+8I) f32).  Traced."""
+    T, I = frames.imu_t.shape
+    f32 = jnp.float32
+    vec = jnp.concatenate([
+        frames.timestamp.reshape(T, 1).astype(f32),
+        frames.fe_dt.reshape(T, 1).astype(f32),
+        frames.active.reshape(T, 1).astype(f32),
+        frames.fe_mean_w.reshape(T, 3).astype(f32),
+        frames.imu_t.reshape(T, I).astype(f32),
+        frames.imu_w.reshape(T, 3 * I).astype(f32),
+        frames.imu_a.reshape(T, 3 * I).astype(f32),
+        frames.imu_mask.reshape(T, I).astype(f32),
+    ], axis=1)
+    imgs = jnp.stack([frames.cam0, frames.cam1], axis=1)
+    return imgs, vec
+
+
+def unpack_frame(imgs, packed, I: int) -> VioFrame:
+    """Inverse of one row of ``pack_frames_batch`` (also the layout the
+    streaming path ships per frame).  Traced, inside jit."""
+    return VioFrame(
+        timestamp=packed[0],
+        cam0=imgs[0],
+        cam1=imgs[1],
+        imu_t=packed[6:6 + I],
+        imu_w=packed[6 + I:6 + 4 * I].reshape(I, 3),
+        imu_a=packed[6 + 4 * I:6 + 7 * I].reshape(I, 3),
+        imu_mask=packed[6 + 7 * I:6 + 8 * I] > 0.5,
+        fe_mean_w=packed[3:6],
+        fe_dt=packed[1],
+        active=packed[2] > 0.5,
+    )
+
+
+OUT_VEC_DIM = 30
+
+
+def flatten_step_out(out: StepOutput):
+    """StepOutput -> (30,) f32: [timestamp, q(4), p(3), v(3), active, warn,
+    did_reset, n_cams, n_features, n_lost_overflow, n_update_rows,
+    R_imu_cam0(9), t_cam0_imu(3)]."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        out.timestamp.reshape(1).astype(f32),
+        out.q.astype(f32), out.p.astype(f32), out.v.astype(f32),
+        out.active.reshape(1).astype(f32),
+        out.warn_large_update.reshape(1).astype(f32),
+        out.did_reset.reshape(1).astype(f32),
+        out.n_cams.reshape(1).astype(f32),
+        out.n_features.reshape(1).astype(f32),
+        out.n_lost_overflow.reshape(1).astype(f32),
+        out.n_update_rows.reshape(1).astype(f32),
+        out.R_imu_cam0.reshape(9).astype(f32),
+        out.t_cam0_imu.astype(f32),
+    ])
+
+
+def unflatten_step_outs(vs) -> StepOutput:
+    """(T,30) f32 -> StepOutput with (T,...) leaves, original dtypes."""
+    i32 = jnp.int32
+    return StepOutput(
+        timestamp=vs[:, 0],
+        q=vs[:, 1:5],
+        p=vs[:, 5:8],
+        v=vs[:, 8:11],
+        active=vs[:, 11] > 0.5,
+        warn_large_update=vs[:, 12] > 0.5,
+        did_reset=vs[:, 13] > 0.5,
+        n_cams=vs[:, 14].astype(i32),
+        n_features=vs[:, 15].astype(i32),
+        n_lost_overflow=vs[:, 16].astype(i32),
+        n_update_rows=vs[:, 17].astype(i32),
+        R_imu_cam0=vs[:, 18:27].reshape(-1, 3, 3),
+        t_cam0_imu=vs[:, 27:30],
+    )
+
+
 @functools.lru_cache(maxsize=8)
 def _sequence_runner(config: Config, unroll: int):
     """Compiled scan runner, memoized per config so repeat calls (bench
     warmup/timed, sweeps) reuse the same XLA executable."""
     fparams = make_frontend_params(config)
     mparams = make_params(config)
+    I = config.capacity.max_imu_per_frame
 
-    def scan_fn(carry, frame):
+    def scan_fn(carry, xs):
+        im, v = xs
+        frame = unpack_frame(im, v, I)
         new_state, out = vio_step(carry, frame, fparams, mparams, config)
-        return new_state, out
+        return new_state, flatten_step_out(out)
 
     @with_highest_precision
     @jax.jit
     def _run(state, frames):
-        return lax.scan(scan_fn, state, frames, unroll=unroll)
+        state, vs = lax.scan(scan_fn, state, pack_frames_batch(frames),
+                             unroll=unroll)
+        return state, unflatten_step_outs(vs)
 
     return _run
 

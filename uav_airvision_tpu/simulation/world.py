@@ -210,32 +210,49 @@ class StereoWorld:
         w, h = config.calib.cam0_resolution
         self.W, self.H = w, h
         self._rays = {}
-        for name, intr, coeffs in (
-            ("cam0", config.calib.cam0_intrinsics, config.calib.cam0_distortion_coeffs),
-            ("cam1", config.calib.cam1_intrinsics, config.calib.cam1_distortion_coeffs),
+        for name, intr, coeffs, model in (
+            ("cam0", config.calib.cam0_intrinsics,
+             config.calib.cam0_distortion_coeffs,
+             config.calib.cam0_distortion_model),
+            ("cam1", config.calib.cam1_intrinsics,
+             config.calib.cam1_distortion_coeffs,
+             config.calib.cam1_distortion_model),
         ):
-            self._rays[name] = self._pixel_rays(intr, coeffs)
+            self._rays[name] = self._pixel_rays(intr, coeffs, model)
 
         T0 = np.linalg.inv(config.np_T_imu_cam0())  # cam0 -> imu
         T1 = np.linalg.inv(config.np_T_imu_cam1())
         self.R_c0_i, self.t_c0_i = T0[:3, :3], T0[:3, 3]
         self.R_c1_i, self.t_c1_i = T1[:3, :3], T1[:3, 3]
 
-    def _pixel_rays(self, intr, coeffs):
+    def _pixel_rays(self, intr, coeffs, model="radtan"):
         """Undistorted normalized ray (x, y, 1) per pixel — computed once."""
         fx, fy, cx, cy = intr
         u, v = np.meshgrid(np.arange(self.W), np.arange(self.H))
         x = (u - cx) / fx
         y = (v - cy) / fy
-        k1, k2, p1, p2 = coeffs
-        x0, y0 = x.copy(), y.copy()
-        for _ in range(8):
-            r2 = x * x + y * y
-            icdist = 1.0 / (1.0 + k1 * r2 + k2 * r2 * r2)
-            dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
-            dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
-            x = (x0 - dx) * icdist
-            y = (y0 - dy) * icdist
+        if model == "equidistant":
+            # invert theta_d = theta (1 + k1 th^2 + ... + k4 th^8), r = tan(th)
+            k1, k2, k3, k4 = coeffs
+            theta_d = np.sqrt(x * x + y * y)
+            theta = theta_d.copy()
+            for _ in range(8):
+                t2 = theta * theta
+                theta = theta_d / (1 + k1 * t2 + k2 * t2**2
+                                   + k3 * t2**3 + k4 * t2**4)
+            scale = np.where(theta_d > 1e-12,
+                             np.tan(theta) / np.maximum(theta_d, 1e-12), 1.0)
+            x, y = x * scale, y * scale
+        else:
+            k1, k2, p1, p2 = coeffs
+            x0, y0 = x.copy(), y.copy()
+            for _ in range(8):
+                r2 = x * x + y * y
+                icdist = 1.0 / (1.0 + k1 * r2 + k2 * r2 * r2)
+                dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+                dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+                x = (x0 - dx) * icdist
+                y = (y0 - dy) * icdist
         return np.stack([x, y, np.ones_like(x)], axis=-1).astype(np.float32)
 
     def _sample_tex(self, wx, wy, tex_off):

@@ -30,7 +30,7 @@ from .utils.precision import with_highest_precision
 from .models.frontend.params import make_frontend_params
 from .models.frontend.pipeline import init_frontend_state
 from .models.msckf.state import init_state, make_params
-from .models.vio import VioFrame, VioState, vio_step
+from .models.vio import VioFrame, VioState, unpack_frame, vio_step
 from .utils.trajectory import TrajectoryWriter
 from .utils import quaternion as quat
 from .utils.transforms import Isometry
@@ -54,20 +54,8 @@ def _pack_frame(t, cam0, cam1, imu_t, imu_w, imu_a, imu_m, mean_w, dt,
     return imgs, packed
 
 
-def _unpack_frame(imgs, packed, I):
-    """Device side (traced): packed vector + image stack -> VioFrame."""
-    return VioFrame(
-        timestamp=packed[0],
-        cam0=imgs[0],
-        cam1=imgs[1],
-        imu_t=packed[6:6 + I],
-        imu_w=packed[6 + I:6 + 4 * I].reshape(I, 3),
-        imu_a=packed[6 + 4 * I:6 + 7 * I].reshape(I, 3),
-        imu_mask=packed[6 + 7 * I:] > 0.5,
-        fe_mean_w=packed[3:6],
-        fe_dt=packed[1],
-        active=packed[2] > 0.5,
-    )
+# Device-side unpack lives in models.vio (shared with the packed batch scan).
+_unpack_frame = unpack_frame
 
 
 def _pack_out(out):
