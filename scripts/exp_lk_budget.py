@@ -80,12 +80,14 @@ def main():
         return dataclasses.replace(cfg, frontend=dataclasses.replace(cfg.frontend, **kw))
 
     variants = [
-        ("baseline (r3 defaults, bwd5)", base),
-        ("tseed L2", fe(base, temporal_seeded=True, temporal_seeded_levels=2)),
-        ("tseed L2 nofall", fe(base, temporal_seeded=True,
-                               temporal_seeded_levels=2,
-                               temporal_seed_fallback=False)),
-        ("tseed L3", fe(base, temporal_seeded=True, temporal_seeded_levels=3)),
+        ("baseline (r4 defaults)", base),
+        ("temporal 3 levels", fe(base, lk_temporal_levels=3)),
+        ("temporal 2 levels", fe(base, lk_temporal_levels=2)),
+        ("lk_max_iteration 8", fe(base, lk_max_iteration=8)),
+        ("upper iters 4", fe(base, lk_max_iteration_upper=4)),
+        ("t2 + iter8 + up4", fe(base, lk_temporal_levels=2,
+                                lk_max_iteration=8,
+                                lk_max_iteration_upper=4)),
     ]
     for label, cfg in variants:
         run_variant(label, cfg, frames, pb, fts, world)

@@ -4,9 +4,15 @@
 Measures aggregate stereo frames/sec/chip for instance batches (offset
 sweeps / multi-UAV, BASELINE.json configs 4-5) using the batch-hoisted-tier
 fleet step (parallel.fleet.make_fleet_step tiered=True).  Pass --plain to
-also run the round-2 plain-vmap baseline for comparison.  Usage:
+also run the round-2 plain-vmap baseline for comparison.
 
-    python scripts/fleet_bench.py [B1 B2 ...] [--plain]   # default 1 4 8
+By default instances are IDENTICAL broadcast copies (best case for the
+batch-max tier hoisting).  --decorrelated instead starts each instance at a
+different time offset into the same stream (stride 7 frames), so track
+lifecycles, lost-feature counts, and tier predicates diverge across the
+batch — the honest fleet number.  Usage:
+
+    python scripts/fleet_bench.py [B1 B2 ...] [--plain] [--decorrelated]
 """
 
 import os
@@ -24,8 +30,10 @@ from jax import lax
 def main():
     args = [a for a in sys.argv[1:]]
     plain = "--plain" in args
+    decorrelated = "--decorrelated" in args
     sizes = [int(a) for a in args if not a.startswith("-")] or [1, 4, 8]
     n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    stride = int(os.environ.get("FLEET_STRIDE", "7"))
 
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -42,20 +50,31 @@ def main():
     from uav_airvision_tpu.utils.precision import with_highest_precision
 
     cfg = euroc_config()
-    frames, pb, source = bench.build_frames(cfg, n_frames)
-    T = int(frames.timestamp.shape[0])
+    # decorrelated mode: render enough extra stream so instance b can start
+    # stride*b frames in while every instance still scans n_frames steps
+    extra = stride * (max(sizes) - 1) if decorrelated else 0
+    frames, pb, source = bench.build_frames(cfg, n_frames + extra)
+    T_total = int(frames.timestamp.shape[0])
+    T = T_total - extra
     mparams = make_params(cfg)
-    print(f"source={source} T={T}")
+    mode = f"decorrelated(stride={stride})" if decorrelated else "broadcast"
+    print(f"source={source} T={T} mode={mode}")
 
     variants = [("tiered", True)] + ([("plain-vmap", False)] if plain else [])
     for label, tiered in variants:
         step = make_fleet_step(cfg, tiered=tiered)
         for B in sizes:
-            bframes = jax.tree.map(
-                lambda x: jnp.broadcast_to(
-                    x[:, None], (x.shape[0], B) + x.shape[1:]),
-                frames,
-            )
+            if decorrelated:
+                # instance b sees frames [stride*b, stride*b + T): divergent
+                # track lifecycles => divergent tier predicates
+                idx = np.arange(T)[:, None] + stride * np.arange(B)[None, :]
+                bframes = jax.tree.map(lambda x: jnp.asarray(x)[idx], frames)
+            else:
+                bframes = jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        x[:, None], (x.shape[0], B) + x.shape[1:]),
+                    frames,
+                )
             state = jax.vmap(
                 lambda i: init_vio_state(cfg, pb.gyro_bias, pb.acc_mean, mparams)
             )(jnp.arange(B))

@@ -2,7 +2,14 @@
 """Focused scan-amortized profile: the few stages that matter for the fps
 budget (frontend_step, backend_step, and the three LK passes), with far
 fewer compiles than scan_profile.py.  Usage: quick_profile.py [reps] [stages]
-where stages is a comma set from {fe,be,lk,stereo,detect}.
+where stages is a comma set from {fe,be,lk,stereo,detect,vio,pyr,mask,publish}.
+
+Image-consuming stages roll the image by a carried offset each iteration:
+with a CONSTANT captured image XLA constant-folds every image-pure
+computation (pyramid build, banding, the FAST score map) out of the scan
+body and the stage under-reports (discovered in round 4: the fe stage read
+0.57 ms below the real bench cost).  The roll is a ~0.36 MB copy (~1 us)
+and makes the content pan like a moving camera.
 """
 
 import os
@@ -118,6 +125,42 @@ if __name__ == "__main__":
 
         scan_time(det_body, img0.astype(jnp.float32), reps, "detect candidates")
 
+    if "pyr" in stages:
+        def pyr_body(c):
+            im, k = c
+            imk = jnp.roll(im, k, axis=1)
+            bp = ex.band_pyramid(
+                pyramid.build_pyramid_padded(imk, fe.pyramid_levels),
+                dtype=band_dtype)
+            return (im + jnp.sum(bp.bands[:1, :1]).astype(im.dtype) * 0,
+                    k + 1)
+
+        scan_time(pyr_body, (img0, jnp.zeros((), jnp.int32)), reps,
+                  "pyramid+banding")
+
+    if "mask" in stages:
+        from uav_airvision_tpu.models.frontend.pipeline import _detection_mask
+
+        def mask_body(c):
+            m = _detection_mask((H, W), pts0 + c * 1e-6, valid)
+            return c + jnp.sum(m.astype(jnp.float32)) * 1e-12
+
+        scan_time(mask_body, jnp.zeros(()), reps, "detection mask")
+
+    if "publish" in stages:
+        from uav_airvision_tpu.models.frontend.pipeline import _normalize_publish
+
+        ids0 = jnp.arange(F, dtype=jnp.int32)
+        life0 = jnp.ones(F, jnp.int32)
+
+        def pub_body(c):
+            ids, uv, m = _normalize_publish(ids0, life0, pts0 + c * 1e-6,
+                                            pts0 + 3.0 + c * 1e-6, valid,
+                                            fparams, cfg)
+            return c + jnp.sum(uv) * 1e-12
+
+        scan_time(pub_body, jnp.zeros(()), reps, "normalize+publish")
+
     if "fe" in stages:
         fe0 = init_frontend_state(cfg)
         fe_f = jax.jit(lambda st: frontend_step(
@@ -126,11 +169,16 @@ if __name__ == "__main__":
         jax.device_get(fe1.cam0.ravel()[:1])
 
         def fe_body(c):
-            c2, _ = frontend_step(c, img0, img1, jnp.zeros(3),
+            st, k = c
+            # roll the images so image-pure work cannot constant-fold out
+            im0 = jnp.roll(img0, k, axis=1)
+            im1 = jnp.roll(img1, k, axis=1)
+            c2, _ = frontend_step(st, im0, im1, jnp.zeros(3),
                                   jnp.asarray(0.05), fparams, cfg)
-            return c2
+            return (c2, k + 1)
 
-        scan_time(fe_body, fe1, reps, "frontend_step")
+        scan_time(fe_body, (fe1, jnp.zeros((), jnp.int32)), reps,
+                  "frontend_step")
 
     if "be" in stages:
         state = init_state(cfg, mparams, np.zeros(3), np.array([0.05, 0.02, 9.8]))
@@ -182,3 +230,51 @@ if __name__ == "__main__":
             return (st2, ts + 0.05)
 
         scan_time(be_body, (state, frame.timestamp), reps, "backend_step")
+
+    if "vio" in stages:
+        from uav_airvision_tpu.models.vio import (VioFrame, init_vio_state,
+                                                  vio_step)
+
+        I = cap.max_imu_per_frame
+        nimu = 10
+        imu_t0 = np.zeros(I)
+        imu_t0[:nimu] = np.arange(1, nimu + 1) * 0.005
+        vframe = VioFrame(
+            timestamp=jnp.asarray(0.05, jnp.float32),
+            cam0=img0, cam1=img1,
+            imu_t=jnp.asarray(imu_t0, jnp.float32),
+            imu_w=jnp.asarray(rng.normal(0, 0.01, (I, 3)), jnp.float32),
+            imu_a=jnp.asarray(rng.normal(0, 0.01, (I, 3)) + [0, 0, 9.8],
+                              jnp.float32),
+            imu_mask=jnp.asarray(np.arange(I) < nimu),
+            fe_mean_w=jnp.zeros(3, jnp.float32),
+            fe_dt=jnp.asarray(0.05, jnp.float32),
+            active=jnp.asarray(True),
+        )
+        vstate = init_vio_state(cfg, np.zeros(3), np.array([0.05, 0.02, 9.8]),
+                                mparams)
+        v_f = jax.jit(lambda st, fr: vio_step(st, fr, fparams, mparams, cfg)[0])
+        t = 0.0
+        for k in range(25):
+            t += 0.05
+            nt = jnp.where(vframe.imu_mask,
+                           vframe.imu_t - 0.005 * nimu + t, 0.0)
+            vstate = v_f(vstate, vframe._replace(
+                timestamp=jnp.asarray(t, jnp.float32), imu_t=nt))
+        jax.device_get(vstate.filter.imu.p.ravel()[:1])
+
+        def vio_body(c):
+            st, ts, k = c
+            fr = vframe._replace(
+                timestamp=ts + 0.05,
+                cam0=jnp.roll(vframe.cam0, k, axis=1),  # defeat const-folding
+                cam1=jnp.roll(vframe.cam1, k, axis=1),
+                imu_t=jnp.where(vframe.imu_mask,
+                                vframe.imu_t - 0.005 * nimu + ts + 0.05, 0.0),
+            )
+            st2, _ = vio_step(st, fr, fparams, mparams, cfg)
+            return (st2, ts + 0.05, k + 1)
+
+        scan_time(vio_body, (vstate, jnp.asarray(t, jnp.float32),
+                             jnp.zeros((), jnp.int32)), reps,
+                  "vio_step (fused)")

@@ -174,6 +174,17 @@ class FrontendConfig:
     # slightly BETTER ATE (0.00500 vs 0.00520 m); 3 is faster still but
     # measurably worse (0.00537 m).  exp_lk_budget.py.
     lk_max_iteration_upper: int = 5
+    # Pyramid depth of the TEMPORAL tracker's LK (0 = full pyramid, the
+    # reference behavior).  The IMU homography warp already removes the
+    # rotation-induced flow — the dominant term on EuRoC-like motion — so
+    # the coarse levels mostly re-confirm a guess that is already inside
+    # level-1's convergence basin.  Each level costs lk_max_iteration_upper
+    # sequential Gauss-Newton steps (~60 us/level on v5e).  Measured
+    # (exp_lk_budget.py, 200-frame bench world): 2 levels 0.00505 m vs full
+    # pyramid 0.00512 m ATE; hard-motion preset head-to-head re-validated
+    # with this default (see PARITY.md round-4 table).  Set 0 to restore the
+    # full reference pyramid.
+    lk_temporal_levels: int = 2
 
     @property
     def grid_num(self) -> int:

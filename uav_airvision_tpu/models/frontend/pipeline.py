@@ -65,12 +65,18 @@ class FrontendOutput(NamedTuple):
     after_ransac: jnp.ndarray
 
 
+def temporal_lk_levels(config: Config) -> int:
+    """Pyramid depth of the temporal tracker (and of the carried template
+    rows): config.frontend.lk_temporal_levels, 0 = full pyramid."""
+    return config.frontend.lk_temporal_levels or (
+        config.frontend.pyramid_levels + 1)
+
+
 def init_frontend_state(config: Config, dtype=jnp.float32) -> FrontendState:
     F = config.capacity.max_features
-    levels = config.frontend.pyramid_levels
     band_dtype = jnp.bfloat16 if config.frontend.band_bf16 else jnp.float32
-    rows = jnp.zeros(((levels + 1) * F, extract.BAND_BW * extract.BAND_BW),
-                     band_dtype)
+    rows = jnp.zeros((temporal_lk_levels(config) * F,
+                      extract.BAND_BW * extract.BAND_BW), band_dtype)
     return FrontendState(
         ids=jnp.full((F,), -1, jnp.int32),
         lifetime=jnp.zeros((F,), jnp.int32),
@@ -275,6 +281,7 @@ def frontend_step(
         curr, st = lk.pyramidal_lk_banded(
             pyr0, pyr0, prev_pts, pred, prev_valid,
             prev_rows=state.prev_rows,
+            n_levels=temporal_lk_levels(config),
             win=fe.patch_size, max_iter=fe.lk_max_iteration,
             eps=fe.lk_track_precision, min_eig_threshold=fe.lk_min_eig_threshold,
             static_iters=fe.lk_static_iters,
@@ -423,7 +430,8 @@ def frontend_step(
     # cam0 pyramid is live: the carry shrinks to the rows the next frame
     # actually reads (byte-identical to gathering from a carried pyramid).
     state2 = state2._replace(prev_rows=lk.template_gather_rows(
-        pyr0, state2.cam0, win=fe.patch_size, n_levels=fe.pyramid_levels + 1))
+        pyr0, state2.cam0, win=fe.patch_size,
+        n_levels=temporal_lk_levels(config)))
 
     ids, uv, mask = _normalize_publish(
         state2.ids, state2.lifetime, state2.cam0, state2.cam1, state2.valid,

@@ -187,6 +187,11 @@ def propagate(state: FilterState, params: MsckfParams, imu_t, imu_w, imu_a, imu_
     Q = jnp.where(m[:, None, None], Q, 0.0)
 
     # ---- phase 4: compose and apply to the covariance ---------------------
+    # Only the TOTAL composition is needed (unlike the orientation chain,
+    # which needs every prefix), so fold pairwise to one (Phi, Q) in log2(I)
+    # layers instead of running a full associative scan's up+down sweeps —
+    # about half the batched matmuls.  Masked slots are identity/zero, so
+    # padding to a power of two composes as a no-op.
     def compose(a, b):
         # a happened first: (Phi_b Phi_a, Phi_b Q_a Phi_b^T + Q_b)
         Pa, Qa = a
@@ -195,9 +200,19 @@ def propagate(state: FilterState, params: MsckfParams, imu_t, imu_w, imu_a, imu_
         Qc = jnp.einsum("...ij,...jk,...lk->...il", Pb, Qa, Pb) + Qb
         return Pc, Qc
 
-    Phi_tot, Q_tot = jax.tree.map(
-        lambda x: x[-1], lax.associative_scan(compose, (Phi, Q))
-    )
+    n = I
+    if n & (n - 1):  # pad to a power of two with identity elements
+        n2 = 1 << (n - 1).bit_length()
+        pad = n2 - n
+        Phi_f = jnp.concatenate([Phi, jnp.tile(eyeI[None], (pad, 1, 1))])
+        Q_f = jnp.concatenate([Q, jnp.zeros((pad, IMU_DIM, IMU_DIM), dtype)])
+        n = n2
+    else:
+        Phi_f, Q_f = Phi, Q
+    while n > 1:
+        Phi_f, Q_f = compose((Phi_f[0::2], Q_f[0::2]), (Phi_f[1::2], Q_f[1::2]))
+        n //= 2
+    Phi_tot, Q_tot = Phi_f[0], Q_f[0]
 
     cov = state.cov
     P_ii = Phi_tot @ cov[:IMU_DIM, :IMU_DIM] @ Phi_tot.T + Q_tot
