@@ -77,6 +77,7 @@ def build_frames(config, n_frames):
 
 def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     import jax
 
     # persistent compilation cache: the fused step is a large program and the
@@ -105,13 +106,13 @@ def main():
     # into the timed window (measured: block 0.003s vs fetch 251s cold;
     # warm blocks are fine).
     state, outs = run_sequence(config, frames, pb.gyro_bias, pb.acc_mean,
-                               mparams=mparams, state=state0)
+                               mparams=mparams, state=state0, unroll=unroll)
     np.asarray(outs.p[-1])
 
     # timed run (warm: block_until_ready is reliable here)
     t0 = time.time()
     state, outs = run_sequence(config, frames, pb.gyro_bias, pb.acc_mean,
-                               mparams=mparams, state=state0)
+                               mparams=mparams, state=state0, unroll=unroll)
     outs.p.block_until_ready()
     wall = time.time() - t0
     fps = n / wall

@@ -98,7 +98,7 @@ if __name__ == "__main__":
         s2 = bstep.augment_state(s1, frame.timestamp)
         s3 = bstep.add_observations(s2, frame.feat_ids, frame.feat_uv,
                                     frame.feat_mask)
-        s4, _, _ = bstep.remove_lost_features(s3, mparams, cfg)
+        s4, _, _, _ = bstep.remove_lost_features(s3, mparams, cfg)
         return s0, s1, s2, s3, s4
 
     s0, s1, s2, s3, s4 = jax.block_until_ready(intermediates(state, frame))
@@ -125,6 +125,18 @@ if __name__ == "__main__":
         s3._replace(cov=s3.cov + c * 1e-30), mparams, cfg)[0]) + c,
         reps, "remove_lost_features")
 
+    # time the prune on whichever frozen state actually triggers it
+    for cand, nm in ((s4, "s4"), (s3, "s3"), (s2, "s2")):
+        trig, n_two = jax.device_get(bstep._prune_trigger_count(cand, cfg))
+        if trig:
+            print(f"prune stage input: {nm} (n_two={int(n_two)})", flush=True)
+            scan_time(lambda c: token(bstep.prune_cam_states(
+                cand._replace(cov=cand.cov + c * 1e-30), mparams, cfg)[0]) + c,
+                reps, "prune_cam_states (fires)")
+            break
+    else:
+        print("prune: no frozen state triggers (count < 20)", flush=True)
+
     scan_time(lambda c: token(bstep.prune_cam_states(
         s4._replace(cov=s4.cov + c * 1e-30), mparams, cfg)[0]) + c,
         reps, "prune_cam_states")
@@ -132,3 +144,72 @@ if __name__ == "__main__":
     scan_time(lambda c: token(bstep.online_reset(
         s4._replace(cov=s4.cov + c * 1e-30), mparams, cfg)[0]) + c,
         reps, "online_reset")
+
+    # ---- remove_lost sub-stages (small tier shapes, L=16) -----------------
+    from uav_airvision_tpu.models.msckf.update import (apply_update,
+                                                       feature_block,
+                                                       gating_test_batch)
+    from uav_airvision_tpu.ops.gridops import smallest_k_indices
+
+    L = 16
+    table = s3.features
+    cams = s3.cams
+    M = table.fid.shape[0]
+    N = table.obs_mask.shape[1]
+    D = cap.state_dim
+    cslot = cams.count - 1
+    seen_now = np.asarray(table.obs_mask)[:, int(cslot)]
+    obs_count = np.asarray(jnp.sum(table.obs_mask.astype(jnp.int32), axis=1))
+    cand = np.asarray(table.valid) & ~seen_now & (obs_count >= 3)
+    sel = jnp.asarray(np.argsort(np.where(cand, np.asarray(table.seq),
+                                          2**31 - 1))[:L])
+    sel_mask = jnp.asarray(cand)[sel]
+
+    def tri_body(c):
+        mo, pos, ok = jax.vmap(
+            lambda slot, act: bstep._triangulate_one(
+                s3._replace(cov=s3.cov + c * 1e-30), mparams, cfg, slot,
+                table.obs_mask[slot], act)
+        )(sel, sel_mask)
+        return c + jnp.sum(pos) * 1e-20
+
+    scan_time(tri_body, reps, f"  triangulate x{L}")
+
+    def blocks_body(c):
+        H_blk, r_blk, rows_f = jax.vmap(
+            lambda slot: feature_block(
+                cams.q, cams.p, cams.q_null, cams.p_null,
+                table.obs[slot], table.obs_mask[slot],
+                table.position[slot] + c * 1e-30,
+                s3.gravity, mparams.R_cam0_cam1, mparams.t_cam0_cam1, D)
+        )(sel)
+        return c + jnp.sum(r_blk) * 1e-20
+
+    scan_time(blocks_body, reps, f"  feature_block x{L}")
+
+    H_blk, r_blk, rows_f = jax.vmap(
+        lambda slot: feature_block(
+            cams.q, cams.p, cams.q_null, cams.p_null,
+            table.obs[slot], table.obs_mask[slot], table.position[slot],
+            s3.gravity, mparams.R_cam0_cam1, mparams.t_cam0_cam1, D)
+    )(sel)
+    H_blk = jax.block_until_ready(H_blk)
+    dof = jnp.sum(table.obs_mask[sel].astype(jnp.int32), axis=1) - 1
+
+    def gate_body(c):
+        ok = gating_test_batch(H_blk + c * 1e-30, r_blk, rows_f, s3.cov,
+                               mparams.obs_noise, mparams.chi2_table, dof)
+        return c + jnp.sum(ok.astype(jnp.float32)) * 1e-20
+
+    scan_time(gate_body, reps, f"  gating x{L}")
+
+    R_BUF = cap.max_update_rows
+    H_buf = jnp.zeros((R_BUF, D), s3.cov.dtype).at[:77].set(H_blk[0])
+    r_buf = jnp.zeros((R_BUF,), s3.cov.dtype).at[:77].set(r_blk[0])
+
+    def gain_body(c):
+        st, warn = apply_update(s3._replace(cov=s3.cov + c * 1e-30), mparams,
+                                H_buf, r_buf, jnp.asarray(77, jnp.int32))
+        return c + jnp.sum(st.imu.p) * 1e-20
+
+    scan_time(gain_body, reps, "  apply_update (77 rows, t1)")

@@ -57,3 +57,85 @@ def test_fleet_matches_single_instance():
         np.asarray(jax.tree.map(lambda x: x[0], new_state).filter.cov),
         np.asarray(ns1.filter.cov), atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_fleet_matches_vmapped_single_over_many_frames():
+    """vio_step_fleet == per-instance single steps over a 20-step scan from
+    DIVERGENT states: each instance sees different images/IMU so the
+    batch-hoisted tier predicates (step.py backend_step_fleet) disagree
+    across the batch — the case the one-step homogeneous test can't cover."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _tiny_config, _frame
+
+    from uav_airvision_tpu.models.vio import make_jitted_step
+    from uav_airvision_tpu.parallel.fleet import init_fleet_state, make_fleet_step
+
+    n_inst, n_steps = 3, 20
+    cfg = _tiny_config()
+
+    # Divergent per-instance streams: instance i gets its own rng stream and
+    # its own angular-velocity bias so feature sets and track lifecycles split.
+    rng = np.random.default_rng(42)
+    w, h = cfg.calib.cam0_resolution
+    I = cfg.capacity.max_imu_per_frame
+    base = _frame(cfg, n_batch=n_inst)
+
+    # Per-instance smoothed textures; frame k of instance i is the texture
+    # rolled i+1 px/frame horizontally and (i % 2) px/frame vertically, so
+    # tracks persist but drop out at different rates per instance.
+    tex = rng.integers(0, 255, (n_inst, h, w)).astype(np.float32)
+    k5 = np.ones(5) / 5.0
+    for i in range(n_inst):
+        tex[i] = np.apply_along_axis(
+            lambda r: np.convolve(r, k5, mode="same"), 1, tex[i])
+        tex[i] = np.apply_along_axis(
+            lambda c: np.convolve(c, k5, mode="same"), 0, tex[i])
+    tex = (tex / tex.max() * 255).astype(np.uint8)
+
+    def frame_at(k):
+        t = 0.05 * (k + 1)
+        imu_t = np.tile(np.linspace(t - 0.045, t, I), (n_inst, 1))
+        cam0 = np.stack([
+            np.roll(np.roll(tex[i], (k + 1) * (i + 1), axis=1),
+                    (k + 1) * (i % 2), axis=0)
+            for i in range(n_inst)
+        ])
+        cam1 = np.stack([np.roll(cam0[i], 3, axis=1) for i in range(n_inst)])
+        return base._replace(
+            timestamp=jnp.full((n_inst,), t, jnp.float32),
+            cam0=jnp.asarray(cam0),
+            cam1=jnp.asarray(cam1),
+            imu_t=jnp.asarray(imu_t, jnp.float32),
+            imu_w=jnp.asarray(
+                rng.normal(0, 0.01, (n_inst, I, 3))
+                + np.linspace(0, 0.2, n_inst)[:, None, None], jnp.float32),
+            imu_a=jnp.asarray(
+                rng.normal(0, 0.01, (n_inst, I, 3)) + np.array([0, 0, 9.81]),
+                jnp.float32),
+        )
+
+    frames = [frame_at(k) for k in range(n_steps)]
+    gyro_bias = np.zeros((n_inst, 3))
+    acc_mean = np.tile(np.array([0.05, 0.02, 9.8]), (n_inst, 1))
+    state_f = init_fleet_state(cfg, gyro_bias, acc_mean, n_inst)
+
+    fleet_step = make_fleet_step(cfg)
+    ps_fleet = []
+    for fr in frames:
+        state_f, out = fleet_step(state_f, fr)
+        ps_fleet.append(np.asarray(out.p))
+
+    single, _, _ = make_jitted_step(cfg)
+    for i in range(n_inst):
+        s = jax.tree.map(lambda x: x[i], init_fleet_state(
+            cfg, gyro_bias, acc_mean, n_inst))
+        for k, fr in enumerate(frames):
+            f1 = jax.tree.map(lambda x: x[i], fr)
+            s, o1 = single(s, f1)
+            np.testing.assert_allclose(
+                ps_fleet[k][i], np.asarray(o1.p), rtol=0, atol=1e-4,
+                err_msg=f"instance {i} diverged from single path at step {k}",
+            )
+        del s

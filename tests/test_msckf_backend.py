@@ -183,3 +183,55 @@ def test_lost_overflow_second_pass_matches_oracle():
     # the overflow pass relinearizes after the first update, so allow a hair
     # more than the single-update fp-noise tolerance
     assert max(errs) < 2e-3, f"overflow-pass deviation {max(errs):.2e} m"
+
+
+def test_rank12_update_matches_generic():
+    """apply_update_rank12 (Woodbury in the 12 prune columns) must equal the
+    generic stacked apply_update on the expanded (m, D) buffer."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from uav_airvision_tpu.config import euroc_config
+    from uav_airvision_tpu.models.msckf.state import init_state, make_params
+    from uav_airvision_tpu.models.msckf.update import (apply_update,
+                                                       apply_update_rank12)
+
+    cfg = euroc_config()
+    mp = make_params(cfg)
+    state = init_state(cfg, mp, np.zeros(3), np.array([0.05, 0.02, 9.8]))
+    D = cfg.capacity.state_dim
+    rng = np.random.default_rng(3)
+
+    # a generic PD covariance and a full camera window
+    A = rng.normal(0, 0.05, (D, D))
+    P = (A @ A.T + 0.01 * np.eye(D)).astype(state.cov.dtype)
+    state = state._replace(
+        cov=jnp.asarray(P),
+        cams=state.cams._replace(count=jnp.asarray(20, jnp.int32)),
+    )
+
+    r0, r1 = 4, 11
+    m = 60  # 12 features x 5 rows
+    B = rng.normal(0, 0.8, (m, 12)).astype(np.float32)
+    B[25:35] = 0.0  # masked (gated-out) rows must be exact no-ops
+    r = rng.normal(0, 0.02, m).astype(np.float32)
+    r[25:35] = 0.0
+    cols = np.concatenate([21 + 6 * r0 + np.arange(6), 21 + 6 * r1 + np.arange(6)])
+
+    # expanded generic buffer
+    H = np.zeros((m, D), np.float32)
+    H[:, cols] = B
+    st_gen, warn_gen = apply_update(state, mp, jnp.asarray(H), jnp.asarray(r),
+                                    jnp.asarray(m, jnp.int32))
+    st_r12, warn_r12 = apply_update_rank12(state, mp, jnp.asarray(B),
+                                           jnp.asarray(r), jnp.asarray(cols))
+
+    np.testing.assert_allclose(np.asarray(st_r12.imu.p),
+                               np.asarray(st_gen.imu.p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_r12.imu.q),
+                               np.asarray(st_gen.imu.q), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_r12.cams.p),
+                               np.asarray(st_gen.cams.p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_r12.cov),
+                               np.asarray(st_gen.cov), atol=5e-4)
+    assert bool(warn_r12) == bool(warn_gen)

@@ -212,6 +212,14 @@ class FilterConfig:
     acc_bias_noise: float = 0.01**2
     observation_noise: float = 0.035**2
 
+    # Camera-prune update via the rank-12 Woodbury form (every prune block
+    # row touches only the two removed camera states, so S is a rank-12
+    # perturbation and all factorizations collapse to (12,12) — see
+    # update.apply_update_rank12).  Algebraically identical to the stacked
+    # QR path it replaces, which paid a (848,141) QR on ~45% of frames.
+    # False restores the generic stacked-buffer update.
+    prune_rank12: bool = True
+
     # Initial covariance diagonal blocks (reference src/config.py:83-87).
     velocity_cov: float = 0.25
     gyro_bias_cov: float = 0.01

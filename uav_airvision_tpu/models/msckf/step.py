@@ -30,8 +30,8 @@ from ...utils import quaternion as quat
 from . import triangulation as tri
 from .propagation import PROP_TIER, propagate_tiered
 from .state import IMU_DIM, CamWindow, FeatureTable, FilterState, MsckfParams, reset_cov
-from .update import (GATE_TIER, apply_update, feature_block, gating_test_batch,
-                     update_tiers)
+from .update import (GATE_TIER, apply_update, apply_update_rank12,
+                     feature_block, gating_test_batch, update_tiers)
 from ...utils.lax_helpers import dyn_update
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
@@ -63,6 +63,7 @@ class StepOutput(NamedTuple):
     n_features: jnp.ndarray  # () int32
     n_lost_overflow: jnp.ndarray  # () int32 — lost features beyond capacity
     n_update_rows: jnp.ndarray  # () int32 — lost-feature update rows (tier diag)
+    n_prune_feats: jnp.ndarray  # () int32 — features in the prune update (tier diag)
     # IMU-cam0 extrinsics snapshot: lets a streaming publisher compute the
     # cam0 pose without touching the (donated) filter state buffers
     R_imu_cam0: jnp.ndarray  # (3,3)
@@ -539,30 +540,47 @@ def _prune_sized(state: FilterState, params: MsckfParams, config: Config,
     # sel is already in map (insertion-seq) order, so stacking order is
     # the reference's iteration order
     include = proc_sel & gate_ok
-    rows_inc = jnp.where(include, rows_f, 0)
-    prefix = jnp.cumsum(rows_inc) - rows_inc
-    rows_total = jnp.sum(rows_inc)
-
-    # single scatter-add (rows past a block's true height are exact zeros)
-    R_BUF = cap.max_prune_rows
-    row_idx = jnp.where(
-        include[:, None], prefix[:, None] + jnp.arange(5)[None, :], R_BUF
-    ).reshape(-1)
-    H_buf = jnp.zeros((R_BUF, D), dtype).at[row_idx].add(
-        H_blk.reshape(Kp * 5, D), mode="drop"
-    )
-    r_buf = jnp.zeros((R_BUF,), dtype).at[row_idx].add(
-        r_blk.reshape(Kp * 5), mode="drop"
-    )
-
     any_update = jnp.any(include)
-    state, warn = lax.cond(
-        any_update,
-        lambda s: apply_update(s, params, H_buf, r_buf, rows_total,
-                               static_tier=update_tier),
-        lambda s: (s, jnp.zeros((), bool)),
-        state,
-    )
+    if config.filter.prune_rank12:
+        # Rank-12 Woodbury update: zeroed rows are exact no-ops in B^T B /
+        # B^T r, so no row placement or row cap is needed (the stack order
+        # never mattered here — the prune path has no truncation).
+        B = jnp.where(include[:, None, None], H12, 0.0).reshape(Kp * 5, 12)
+        r_s = jnp.where(include[:, None], r_blk, 0.0).reshape(Kp * 5)
+        cols = jnp.concatenate([
+            IMU_DIM + 6 * r0 + jnp.arange(6),
+            IMU_DIM + 6 * r1 + jnp.arange(6),
+        ])
+        state, warn = lax.cond(
+            any_update,
+            lambda s: apply_update_rank12(s, params, B, r_s, cols),
+            lambda s: (s, jnp.zeros((), bool)),
+            state,
+        )
+    else:
+        rows_inc = jnp.where(include, rows_f, 0)
+        prefix = jnp.cumsum(rows_inc) - rows_inc
+        rows_total = jnp.sum(rows_inc)
+
+        # single scatter-add (rows past a block's true height are exact zeros)
+        R_BUF = cap.max_prune_rows
+        row_idx = jnp.where(
+            include[:, None], prefix[:, None] + jnp.arange(5)[None, :], R_BUF
+        ).reshape(-1)
+        H_buf = jnp.zeros((R_BUF, D), dtype).at[row_idx].add(
+            H_blk.reshape(Kp * 5, D), mode="drop"
+        )
+        r_buf = jnp.zeros((R_BUF,), dtype).at[row_idx].add(
+            r_blk.reshape(Kp * 5), mode="drop"
+        )
+
+        state, warn = lax.cond(
+            any_update,
+            lambda s: apply_update(s, params, H_buf, r_buf, rows_total,
+                                   static_tier=update_tier),
+            lambda s: (s, jnp.zeros((), bool)),
+            state,
+        )
     warn = warn | prune_overflow
 
     # delete involved observations for every feature (reference deletes
@@ -673,6 +691,7 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
         state = add_observations(state, frame.feat_ids, frame.feat_uv,
                                  frame.feat_mask)
         state, warn1, n_overflow, urows = remove_lost_features(state, params, config)
+        _, prune_n_two = _prune_trigger_count(state, config)
         state, warn2 = prune_cam_states(state, params, config)
 
         out = StepOutput(
@@ -687,6 +706,7 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
             n_features=jnp.sum(state.features.valid.astype(jnp.int32)).astype(jnp.int32),
             n_lost_overflow=n_overflow,
             n_update_rows=urows.astype(jnp.int32),
+            n_prune_feats=prune_n_two,
             R_imu_cam0=state.imu.R_imu_cam0,
             t_cam0_imu=state.imu.t_cam0_imu,
         )
@@ -708,6 +728,7 @@ def backend_step(state: FilterState, frame: FrameInput, params: MsckfParams,
             n_features=jnp.zeros((), jnp.int32),
             n_lost_overflow=jnp.zeros((), jnp.int32),
             n_update_rows=jnp.zeros((), jnp.int32),
+            n_prune_feats=jnp.zeros((), jnp.int32),
             R_imu_cam0=state.imu.R_imu_cam0,
             t_cam0_imu=state.imu.t_cam0_imu,
         )
@@ -908,6 +929,7 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
                 state.features.valid.astype(jnp.int32)).astype(jnp.int32),
             n_lost_overflow=jnp.zeros((), jnp.int32),
             n_update_rows=jnp.zeros((), jnp.int32),
+            n_prune_feats=jnp.zeros((), jnp.int32),
             R_imu_cam0=state.imu.R_imu_cam0,
             t_cam0_imu=state.imu.t_cam0_imu,
         )
@@ -933,6 +955,7 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
             n_features=jnp.zeros((), jnp.int32),
             n_lost_overflow=jnp.zeros((), jnp.int32),
             n_update_rows=jnp.zeros((), jnp.int32),
+            n_prune_feats=jnp.zeros((), jnp.int32),
             R_imu_cam0=state.imu.R_imu_cam0,
             t_cam0_imu=state.imu.t_cam0_imu,
         )

@@ -215,6 +215,57 @@ def update_tiers(D: int):
     return T1, 2 * D
 
 
+def apply_update_rank12(state: FilterState, params: MsckfParams, B, r, cols):
+    """EKF update for a measurement stack whose Jacobian is nonzero ONLY in
+    the 12 state columns ``cols`` — the camera-prune update, where every
+    block row touches just the two removed camera states (reference
+    src/msckf.py:718-772 builds the same stack).
+
+    Algebraically identical to ``apply_update`` on the expanded (m, D)
+    stack: with H = B E^T (E the column selector), S = sigma^2 I + B P12 B^T
+    is a rank-12 perturbation of the identity, so by Woodbury every
+    factorization collapses to (12, 12):
+
+        M      = P12^-1 + B^T B / sigma^2
+        B'Sinv r = sigma^-2 P12^-1 M^-1 (B^T r)
+        G      = B^T Sinv B = sigma^-2 P12^-1 M^-1 (B^T B)   (symmetrized)
+        delta  = P[:, cols] (B^T Sinv r)
+        P_new  = P - P[:, cols] G P[cols, :]
+
+    No m-dim QR/Cholesky at all — the previous path paid a full
+    (848, 141) QR tier on ~45% of frames (measured: prune n_two ~ 90 =>
+    ~450 true rows > the 2D tier).  Zeroed (masked) rows of B/r contribute
+    nothing to B^T B / B^T r, so gating-excluded features are exact no-ops.
+
+    B: (m, 12) compact row stack, r: (m,), cols: (12,) traced state columns.
+    """
+    dtype = state.cov.dtype
+    P = state.cov
+    inv_s2 = 1.0 / params.obs_noise
+    eye12 = jnp.eye(12, dtype=dtype)
+
+    Pc = P[:, cols]  # (D, 12)
+    P12 = Pc[cols, :]  # (12, 12)
+    BtB = B.T @ B
+    Btr = B.T @ r
+
+    L12 = jnp.linalg.cholesky(P12)
+    P12inv = jax.scipy.linalg.cho_solve((L12, True), eye12)
+    M = P12inv + inv_s2 * BtB
+    LM = jnp.linalg.cholesky((M + M.T) / 2.0)
+    Y = jax.scipy.linalg.cho_solve((LM, True), Btr)  # (12,)
+    Z = jax.scipy.linalg.cho_solve((LM, True), BtB)  # (12, 12)
+
+    bsr = inv_s2 * (P12inv @ Y)  # B^T Sinv r
+    G = inv_s2 * (P12inv @ Z)  # B^T Sinv B (up to rounding)
+    G = (G + G.T) / 2.0
+
+    delta = Pc @ bsr  # (D,)
+    P_new = P - Pc @ G @ Pc.T
+    P_new = (P_new + P_new.T) / 2.0
+    return _inject_delta(state, delta, P_new)
+
+
 def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
                  rows_true=None, static_tier: str = "dynamic"):
     """EKF update from the stacked (zero-padded) measurement buffer
@@ -273,6 +324,15 @@ def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
             lambda _: lax.cond(rows_true <= T2, tier2, full, None), None,
         )
 
+    P_new = P - KH @ P
+    P_new = (P_new + P_new.T) / 2.0
+    return _inject_delta(state, delta, P_new)
+
+
+def _inject_delta(state: FilterState, delta, P_new):
+    """Apply a computed error-state correction: quaternion boxplus for the
+    IMU/extrinsic/camera states, install the new covariance (reference
+    measurement_update tail, src/msckf.py:576-602)."""
     d_imu = delta[:IMU_DIM]
     imu = state.imu
     dq = quat.small_angle_quaternion(d_imu[:3])
@@ -299,9 +359,6 @@ def apply_update(state: FilterState, params: MsckfParams, H_buf, r_buf,
         q=jnp.where(live[:, None], q_new, cams.q),
         p=jnp.where(live[:, None], cams.p + d_cam[:, 3:], cams.p),
     )
-
-    P_new = P - KH @ P
-    P_new = (P_new + P_new.T) / 2.0
 
     # diagnostics matching the reference's update-magnitude warning
     too_large = jnp.logical_or(

@@ -185,13 +185,13 @@ def unpack_frame(imgs, packed, I: int) -> VioFrame:
     )
 
 
-OUT_VEC_DIM = 30
+OUT_VEC_DIM = 31
 
 
 def flatten_step_out(out: StepOutput):
-    """StepOutput -> (30,) f32: [timestamp, q(4), p(3), v(3), active, warn,
+    """StepOutput -> (31,) f32: [timestamp, q(4), p(3), v(3), active, warn,
     did_reset, n_cams, n_features, n_lost_overflow, n_update_rows,
-    R_imu_cam0(9), t_cam0_imu(3)]."""
+    n_prune_feats, R_imu_cam0(9), t_cam0_imu(3)]."""
     f32 = jnp.float32
     return jnp.concatenate([
         out.timestamp.reshape(1).astype(f32),
@@ -203,13 +203,14 @@ def flatten_step_out(out: StepOutput):
         out.n_features.reshape(1).astype(f32),
         out.n_lost_overflow.reshape(1).astype(f32),
         out.n_update_rows.reshape(1).astype(f32),
+        out.n_prune_feats.reshape(1).astype(f32),
         out.R_imu_cam0.reshape(9).astype(f32),
         out.t_cam0_imu.astype(f32),
     ])
 
 
 def unflatten_step_outs(vs) -> StepOutput:
-    """(T,30) f32 -> StepOutput with (T,...) leaves, original dtypes."""
+    """(T,31) f32 -> StepOutput with (T,...) leaves, original dtypes."""
     i32 = jnp.int32
     return StepOutput(
         timestamp=vs[:, 0],
@@ -223,8 +224,9 @@ def unflatten_step_outs(vs) -> StepOutput:
         n_features=vs[:, 15].astype(i32),
         n_lost_overflow=vs[:, 16].astype(i32),
         n_update_rows=vs[:, 17].astype(i32),
-        R_imu_cam0=vs[:, 18:27].reshape(-1, 3, 3),
-        t_cam0_imu=vs[:, 27:30],
+        n_prune_feats=vs[:, 18].astype(i32),
+        R_imu_cam0=vs[:, 19:28].reshape(-1, 3, 3),
+        t_cam0_imu=vs[:, 28:31],
     )
 
 
