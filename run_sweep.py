@@ -21,7 +21,8 @@ SEQUENCES = [
 OFFSETS = [1, 5, 10, 15, 20, 30, 40]
 
 
-def run_synthetic_suite(duration, csv_path, seeds=(7, 13)):
+def run_synthetic_suite(duration, csv_path, seeds=(7, 13), name_suffix="",
+                        strict_easy_resets=False):
     """EuRoC-proxy evaluation grid: no real EuRoC data reaches this machine
     (zero egress), so the accuracy evidence comes from the hardened
     simulator — 6-DoF EuRoC-matched motion presets x layered multi-depth
@@ -46,7 +47,7 @@ def run_synthetic_suite(duration, csv_path, seeds=(7, 13)):
     summary = []  # (name, ate_pct, rte_pct) for the repo-level bar charts
     for preset, kw in EUROC_MOTION_PRESETS.items():
         for seed in seeds:
-            name = f"SYN_{preset}_s{seed}"
+            name = f"SYN_{preset}_s{seed}{name_suffix}"
             world = StereoWorld(config, seed=seed,
                                 trajectory=Trajectory6DoF(**kw),
                                 scene="layered", photometric=True)
@@ -81,9 +82,18 @@ def run_synthetic_suite(duration, csv_path, seeds=(7, 13)):
             perc = 100.0 * a["rmse"] / path_len if path_len > 0 else ""
             # peak body rates/accels so rows are comparable to EuRoC specs
             wmax = float(np.max(np.linalg.norm(imu_w, axis=1)))
+            # long-run stability diagnostics: online resets fired + final cov
+            n_resets = int(np.asarray(outs.did_reset)[act].sum())
+            cov_ok = bool(np.isfinite(np.asarray(state.filter.cov)).all())
             print(f"[{name}] ATE {a['rmse']:.4f}m RTE {r['rmse']:.4f}m "
                   f"path {path_len:.1f}m peak|w| {wmax:.2f} rad/s "
-                  f"({int(act.sum())} poses)", flush=True)
+                  f"({int(act.sum())} poses, {n_resets} resets, "
+                  f"cov_finite={cov_ok})", flush=True)
+            assert cov_ok, f"{name}: covariance went non-finite"
+            if strict_easy_resets and preset == "easy":
+                assert n_resets == 0, (
+                    f"{name}: {n_resets} online resets on the easy preset "
+                    f"over {duration:.0f}s — long-run stability regression")
             rows.append(dict(
                 dataset=name,
                 ate_rmse=a["rmse"], ate_mean=a["mean"], ate_std=a["std"],
@@ -103,14 +113,14 @@ def run_synthetic_suite(duration, csv_path, seeds=(7, 13)):
     print(f"[csv] {csv_path}")
     if summary:
         names = [s[0] for s in summary]
-        plot_summary("results/ate_summary.png", names,
-                     [s[1] for s in summary], "ATE")
-        plot_summary("results/rte_summary.png", names,
-                     [s[2] for s in summary], "RTE")
-        print("[plots] results/ate_summary.png results/rte_summary.png")
+        a_png = f"results/ate_summary{name_suffix}.png"
+        r_png = f"results/rte_summary{name_suffix}.png"
+        plot_summary(a_png, names, [s[1] for s in summary], "ATE")
+        plot_summary(r_png, names, [s[2] for s in summary], "RTE")
+        print(f"[plots] {a_png} {r_png}")
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", help="directory containing EuRoC sequences")
     ap.add_argument("--sequences", nargs="*", default=SEQUENCES)
@@ -121,8 +131,18 @@ def main():
                          "instead of real sequences")
     ap.add_argument("--duration", type=float, default=20.0,
                     help="synthetic-suite sequence length in seconds")
-    args = ap.parse_args()
+    ap.add_argument("--long-stability", action="store_true",
+                    help="EuRoC-length (180 s = MH_01 length) stability rows: "
+                         "one seed per preset, asserts finite covariance and "
+                         "zero online resets on easy")
+    args = ap.parse_args(argv)
 
+    if args.long_stability:
+        run_synthetic_suite(180.0,
+                            args.csv.replace(".csv", "_synthetic_180s.csv"),
+                            seeds=(7,), name_suffix="_180s",
+                            strict_easy_resets=True)
+        return
     if args.synthetic_suite:
         run_synthetic_suite(args.duration,
                             args.csv.replace(".csv", "_synthetic.csv"))
