@@ -194,19 +194,40 @@ def gating_test_batch(H, r, rows_true, cov, obs_noise, chi2_table, dof,
 
     R = H.shape[1]
     TG = GATE_TIER
+    thresh = chi2_table[jnp.clip(dof, 0, chi2_table.shape[0] - 1)]
     if R <= TG or static_tier == "full":
-        gamma = gamma_of(H, r)
-    elif static_tier == "small":
-        gamma = gamma_of(H[:, :TG, :], r[:, :TG])
-    else:
+        return gamma_of(H, r) < thresh
+    if static_tier == "small":
+        return gamma_of(H[:, :TG, :], r[:, :TG]) < thresh
+
+    # Eigenvalue-bound fast path: sigma^2 <= lambda(S) <= sigma^2 +
+    # trace(H cov H^T), so r^T r / (sigma^2 + tr) <= gamma <= r^T r /
+    # sigma^2.  When every feature's bounds land on one side of its chi^2
+    # threshold the decision is PROVEN and the batched (B, R, R) Cholesky
+    # never runs — the common case (clean features have tiny residuals,
+    # gross outliers have huge ones); the borderline band falls back to the
+    # exact solve.  Decisions are identical to the solve path wherever the
+    # bounds decide.
+    rtr = jnp.sum(r * r, axis=-1)
+    E = jnp.einsum("bij,jk->bik", H, cov)
+    tr = jnp.sum(E * H, axis=(1, 2))  # trace(H cov H^T) per feature
+    pass_sure = rtr < thresh * obs_noise
+    fail_sure = rtr > thresh * (obs_noise + tr)
+    undecided = ~(pass_sure | fail_sure)
+
+    def solve(_):
         gamma = lax.cond(
             jnp.max(rows_true) <= TG,
             lambda _: gamma_of(H[:, :TG, :], r[:, :TG]),
             lambda _: gamma_of(H, r),
             None,
         )
-    thresh = chi2_table[jnp.clip(dof, 0, chi2_table.shape[0] - 1)]
-    return gamma < thresh
+        return gamma < thresh
+
+    def bound_only(_):
+        return pass_sure
+
+    return lax.cond(jnp.any(undecided), solve, bound_only, None)
 
 
 def update_tiers(D: int):
