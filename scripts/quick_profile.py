@@ -56,6 +56,7 @@ if __name__ == "__main__":
     from uav_airvision_tpu.models.frontend.params import make_frontend_params
     from uav_airvision_tpu.models.frontend.pipeline import (
         frontend_step, init_frontend_state, _detection_candidates,
+        temporal_lk_levels,
     )
     from uav_airvision_tpu.models.frontend.stereo import stereo_match
     from uav_airvision_tpu.models.msckf.state import make_params, init_state
@@ -90,10 +91,12 @@ if __name__ == "__main__":
         # Mirror the production temporal-LK call (pipeline.py track_frame):
         # carried template rows + configured eps/min_eig/compaction.
         def lk_body(c):
-            rows = lk.template_gather_rows(pyrA, c, win=fe.patch_size)
+            tl = temporal_lk_levels(cfg)
+            rows = lk.template_gather_rows(pyrA, c, win=fe.patch_size,
+                                           n_levels=tl)
             pts, _ = lk.pyramidal_lk_banded(
                 pyrA, pyrB, c, c, valid,
-                prev_rows=rows,
+                prev_rows=rows, n_levels=tl,
                 win=fe.patch_size, max_iter=fe.lk_max_iteration,
                 eps=fe.lk_track_precision,
                 min_eig_threshold=fe.lk_min_eig_threshold,
@@ -102,7 +105,8 @@ if __name__ == "__main__":
                 max_iter_upper=fe.lk_max_iteration_upper or None)
             return jnp.clip(pts, LO, HI)
 
-        scan_time(lk_body, pts0, reps, f"temporal LK ({F} pts, 4 lvl)")
+        scan_time(lk_body, pts0, reps,
+                  f"temporal LK ({F} pts, {temporal_lk_levels(cfg)} lvl)")
 
     B2 = F + fe.grid_num * fe.grid_max_feature_num
     pts2 = jnp.asarray(rng.uniform([20, 20], [W - 22, H - 20], (B2, 2)),
