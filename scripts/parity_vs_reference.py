@@ -173,12 +173,17 @@ def main():
         presets = [a for a in sys.argv[i + 1:] if not a.startswith("-")]
         presets = presets or ["easy", "medium", "difficult"]
         report = {}
+        # 20 s keeps the historical cache names; other durations get their
+        # own suffixed datasets (the 180 s long-horizon head-to-head,
+        # VERDICT r4 #2) so caches never clobber each other.
+        suffix = "" if duration == 20.0 else f"_{int(duration)}s"
         for preset in presets:
-            print(f"=== preset {preset} ===", flush=True)
+            print(f"=== preset {preset} ({duration:.0f}s) ===", flush=True)
             report[preset] = head_to_head(
-                f"SYN_PROXY_{preset}", duration, preset=preset, force=force)
+                f"SYN_PROXY_{preset}{suffix}", duration, preset=preset,
+                force=force)
             print(json.dumps(report[preset], indent=2), flush=True)
-        out = "reports/parity_report_presets.json"
+        out = f"reports/parity_report_presets{suffix}.json"
     else:
         report = head_to_head("SYN_PARITY", duration, force=force)
         out = "reports/parity_report.json"

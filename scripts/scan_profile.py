@@ -231,7 +231,7 @@ if __name__ == "__main__":
     scan_time(propt_body, (state, frame.timestamp), reps, "  propagate (tiered)")
 
     def rl_body(c):
-        st, _, _ = bstep.remove_lost_features(c[0], mparams, cfg)
+        st, _, _, _ = bstep.remove_lost_features(c[0], mparams, cfg)
         return (st, c[1])
 
     scan_time(rl_body, (state, frame.timestamp), min(reps, 20), "  remove_lost")

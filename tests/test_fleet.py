@@ -59,6 +59,103 @@ def test_fleet_matches_single_instance():
     )
 
 
+def test_fleet_seed_fallback_fires_and_matches_single():
+    """When an instance starves (temporal tracking collapses and the
+    stereo-seed fallback predicate n_seed < stereo_seed_min_tracked fires),
+    the fleet step must still match the single-instance step exactly — the
+    batch-hoisted two-pass recompute in vio_step_fleet (round-4 VERDICT #4:
+    fleet_config used to silently drop the fallback instead)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _tiny_config, _frame
+
+    from uav_airvision_tpu.models.frontend.params import make_frontend_params
+    from uav_airvision_tpu.models.frontend.pipeline import frontend_step
+    from uav_airvision_tpu.models.vio import make_jitted_step
+
+    n_inst = 2
+    cfg = _tiny_config()
+    assert cfg.frontend.stereo_seeded and cfg.frontend.stereo_seed_fallback
+    w, h = cfg.calib.cam0_resolution
+    rng = np.random.default_rng(11)
+
+    # smoothed texture so FAST + LK have structure to work with
+    tex = rng.integers(0, 255, (h, w)).astype(np.float32)
+    k5 = np.ones(5) / 5.0
+    tex = np.apply_along_axis(lambda r: np.convolve(r, k5, mode="same"), 1, tex)
+    tex = np.apply_along_axis(lambda c: np.convolve(c, k5, mode="same"), 0, tex)
+    tex = (tex / tex.max() * 255).astype(np.uint8)
+
+    base = _frame(cfg, n_batch=n_inst)
+
+    def frame_at(shifts, t):
+        cam0 = np.stack([np.roll(tex, s, axis=1) for s in shifts])
+        cam1 = np.stack([np.roll(c, 3, axis=1) for c in cam0])
+        return base._replace(
+            timestamp=jnp.full((n_inst,), t, jnp.float32),
+            cam0=jnp.asarray(cam0), cam1=jnp.asarray(cam1),
+        )
+
+    frames = [frame_at([0, 0], 0.05), frame_at([2, 2], 0.10)]
+    KEEP = 3  # < stereo_seed_min_tracked
+
+    def starve_one(front, inst):
+        """Invalidate all but the first KEEP feature slots of one instance —
+        the deterministic track-collapse that makes the fallback predicate
+        fire (LK on rolled texture false-converges, so image surgery alone
+        cannot reliably starve an instance)."""
+        F = front.valid.shape[-1]
+        keep = jnp.arange(F) < KEEP
+        if front.valid.ndim == 2:  # batched (fleet) state
+            sel = jnp.arange(front.valid.shape[0]) == inst
+            keep = jnp.where(sel[:, None], keep[None, :], True)
+        return front._replace(
+            valid=front.valid & keep,
+            ids=jnp.where(keep, front.ids, -1),
+            lifetime=jnp.where(keep, front.lifetime, 0),
+        )
+
+    state_f = init_fleet_state(
+        cfg, np.zeros((n_inst, 3)),
+        np.tile(np.array([0.05, 0.02, 9.8]), (n_inst, 1)), n_inst)
+    fleet_step = make_fleet_step(cfg)
+    outs_f = []
+    for k, fr in enumerate(frames):
+        if k == 1:
+            state_f = state_f._replace(
+                frontend=starve_one(state_f.frontend, 1))
+        state_f, out = fleet_step(state_f, fr)
+        outs_f.append(jax.tree.map(np.asarray, out))
+
+    # single-instance replay + proof the predicate actually fires on inst 1
+    single, _, _ = make_jitted_step(cfg)
+    fparams = make_frontend_params(cfg)
+    for i in range(n_inst):
+        s = jax.tree.map(lambda x: x[i], init_fleet_state(
+            cfg, np.zeros((n_inst, 3)),
+            np.tile(np.array([0.05, 0.02, 9.8]), (n_inst, 1)), n_inst))
+        for k, fr in enumerate(frames):
+            f1 = jax.tree.map(lambda x: x[i], fr)
+            if k == 1:
+                if i == 1:
+                    s = s._replace(frontend=starve_one(s.frontend, i))
+                _, fe_out = frontend_step(
+                    s.frontend, f1.cam0, f1.cam1, f1.fe_mean_w, f1.fe_dt,
+                    fparams, cfg, seed_mode="seeded")
+                n_seed = int(fe_out.n_seed)
+                if i == 1:
+                    assert n_seed < cfg.frontend.stereo_seed_min_tracked, (
+                        f"scenario failed to starve instance 1 (n_seed={n_seed})")
+                else:
+                    assert n_seed >= cfg.frontend.stereo_seed_min_tracked
+            s, o1 = single(s, f1)
+            np.testing.assert_allclose(
+                outs_f[k].p[i], np.asarray(o1.p), rtol=0, atol=1e-5,
+                err_msg=f"instance {i} fleet!=single at step {k}")
+            np.testing.assert_array_equal(
+                outs_f[k].n_features[i], np.asarray(o1.n_features))
+
+
 @pytest.mark.slow
 def test_fleet_matches_vmapped_single_over_many_frames():
     """vio_step_fleet == per-instance single steps over a 20-step scan from

@@ -235,3 +235,63 @@ def test_rank12_update_matches_generic():
     np.testing.assert_allclose(np.asarray(st_r12.cov),
                                np.asarray(st_gen.cov), atol=5e-4)
     assert bool(warn_r12) == bool(warn_gen)
+
+
+def test_rank12_update_singular_p12_stays_finite():
+    """Pruning a window that contains DUPLICATE camera clones (an IMU-dropout
+    gap makes augment_state append identically-posed, perfectly-correlated
+    cameras) makes P12 exactly singular.  The push-through form must stay
+    finite and match the generic sigma^2-regularized update — the round-4
+    cholesky(P12) form NaN'd here (VERDICT r4 #1)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from uav_airvision_tpu.config import euroc_config
+    from uav_airvision_tpu.models.msckf.state import init_state, make_params
+    from uav_airvision_tpu.models.msckf.update import (apply_update,
+                                                       apply_update_rank12)
+
+    cfg = euroc_config()
+    mp = make_params(cfg)
+    state = init_state(cfg, mp, np.zeros(3), np.array([0.05, 0.02, 9.8]))
+    D = cfg.capacity.state_dim
+    rng = np.random.default_rng(7)
+
+    r0, r1 = 4, 5
+    cols = np.concatenate([21 + 6 * r0 + np.arange(6), 21 + 6 * r1 + np.arange(6)])
+
+    # PD base covariance, then force the two pruned clones to be EXACT copies
+    # of each other: rows/cols of clone r1 := rows/cols of clone r0, making
+    # the 12x12 joint block rank 6 (singular).
+    A = rng.normal(0, 0.05, (D, D))
+    P = A @ A.T + 0.01 * np.eye(D)
+    b0 = slice(21 + 6 * r0, 21 + 6 * r0 + 6)
+    b1 = slice(21 + 6 * r1, 21 + 6 * r1 + 6)
+    P[b1, :] = P[b0, :]
+    P[:, b1] = P[:, b0]
+    P = ((P + P.T) / 2).astype(np.float32)
+    assert np.linalg.matrix_rank(P[np.ix_(cols, cols)], tol=1e-6) == 6
+
+    state = state._replace(
+        cov=jnp.asarray(P),
+        cams=state.cams._replace(count=jnp.asarray(20, jnp.int32)),
+    )
+
+    m = 60
+    B = rng.normal(0, 0.8, (m, 12)).astype(np.float32)
+    r = rng.normal(0, 0.02, m).astype(np.float32)
+
+    st_r12, _ = apply_update_rank12(state, mp, jnp.asarray(B),
+                                    jnp.asarray(r), jnp.asarray(cols))
+    assert np.isfinite(np.asarray(st_r12.cov)).all()
+    assert np.isfinite(np.asarray(st_r12.imu.p)).all()
+    assert np.isfinite(np.asarray(st_r12.imu.q)).all()
+
+    H = np.zeros((m, D), np.float32)
+    H[:, cols] = B
+    st_gen, _ = apply_update(state, mp, jnp.asarray(H), jnp.asarray(r),
+                             jnp.asarray(m, jnp.int32))
+    np.testing.assert_allclose(np.asarray(st_r12.imu.p),
+                               np.asarray(st_gen.imu.p), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_r12.cov),
+                               np.asarray(st_gen.cov), atol=2e-3)

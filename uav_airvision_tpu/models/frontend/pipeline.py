@@ -63,6 +63,11 @@ class FrontendOutput(NamedTuple):
     after_tracking: jnp.ndarray
     after_matching: jnp.ndarray
     after_ransac: jnp.ndarray
+    # number of temporal tracks available to seed the stereo match this
+    # frame (() int32; 0 on first frames / non-seeded configs).  The fleet
+    # path reads it to hoist the stereo-seed-fallback decision to a
+    # batch-level cond (models/vio.py::vio_step_fleet).
+    n_seed: jnp.ndarray
 
 
 def temporal_lk_levels(config: Config) -> int:
@@ -203,6 +208,7 @@ def frontend_step(
     params: FrontendParams,
     config: Config,
     assume_initialized: bool = False,
+    seed_mode: str = "cond",
 ):
     """One stereo frame through the front-end.  Returns (state, FrontendOutput).
 
@@ -211,7 +217,17 @@ def frontend_step(
     the initialized check to a batch-level cond outside vmap, because under
     vmap the first_frame/track_frame cond lowers to select and BOTH paths
     — including first_frame's full-pyramid stereo match — would run every
-    frame."""
+    frame.
+
+    ``seed_mode`` controls the stereo-seed starvation fallback
+    (config.frontend.stereo_seed_fallback) at trace time:
+      * "cond" — the per-instance lax.cond (exact single-instance
+        semantics; under vmap it lowers to select and both stereo paths
+        execute, which is the correct-but-slow fleet branch);
+      * "seeded" — force the disparity-seeded path, no fallback cond (the
+        fleet fast pass; ``FrontendOutput.n_seed`` tells the caller whether
+        the fallback WOULD have fired so it can recompute in "cond" mode —
+        see vio_step_fleet's batch-hoisted two-pass)."""
     fe = config.frontend
     cap = config.capacity
     F = cap.max_features
@@ -263,7 +279,7 @@ def frontend_step(
             initialized=jnp.ones((), bool),
         )
         zero = jnp.zeros((), jnp.int32)
-        counters = (zero, zero, zero, zero)
+        counters = (zero, zero, zero, zero, zero)
         return new_state, counters
 
     def track_frame(state):
@@ -295,6 +311,7 @@ def frontend_step(
         if fe.exact_adder_mask:
             # reference order: stereo-rematch the temporal tracks first, mask
             # around the survivors, then stereo the new candidates separately
+            n_seed_out = jnp.zeros((), jnp.int32)
             cam1_curr, match = stereo_match(pyr0, pyr1, curr, st, params, config)
             det_mask = _detection_mask((H, W), curr, st & match)
             apts, ascore, aarrival, avalid = _detection_candidates(
@@ -348,7 +365,8 @@ def frontend_step(
                         pyr0, pyr1, both_pts, both_valid, params, config
                     )
 
-                if fe.stereo_seed_fallback:
+                n_seed_out = n_seed.astype(jnp.int32)
+                if fe.stereo_seed_fallback and seed_mode == "cond":
                     # starvation recovery: too few tracks to trust the seeds
                     both_cam1, both_inlier = lax.cond(
                         n_seed >= fe.stereo_seed_min_tracked, seeded, full, None
@@ -356,6 +374,7 @@ def frontend_step(
                 else:
                     both_cam1, both_inlier = seeded(None)
             else:
+                n_seed_out = jnp.zeros((), jnp.int32)
                 both_cam1, both_inlier = stereo_match(
                     pyr0, pyr1, both_pts, both_valid, params, config
                 )
@@ -418,7 +437,8 @@ def frontend_step(
             valid=selm,
             next_id=(state.next_id + a_kept).astype(jnp.int32),
         )
-        counters = (before_tracking, after_tracking, after_matching, after_ransac)
+        counters = (before_tracking, after_tracking, after_matching,
+                    after_ransac, n_seed_out)
         return new_state, counters
 
     if assume_initialized:
@@ -441,5 +461,6 @@ def frontend_step(
         ids=ids, uv=uv, mask=mask,
         before_tracking=counters[0], after_tracking=counters[1],
         after_matching=counters[2], after_ransac=counters[3],
+        n_seed=counters[4],
     )
     return state2, out

@@ -938,7 +938,8 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
 
     rstate, rout = jax.vmap(finish)(rstate, bframe, warn_lost | warn3)
     rout = rout._replace(n_lost_overflow=n_over2,
-                         n_update_rows=rows1.astype(jnp.int32))
+                         n_update_rows=rows1.astype(jnp.int32),
+                         n_prune_feats=n_two.astype(jnp.int32))
 
     # inactive instances keep their previous state and publish the skip row
     def inactive_out(state, frame):

@@ -244,16 +244,29 @@ def apply_update_rank12(state: FilterState, params: MsckfParams, B, r, cols):
 
     Algebraically identical to ``apply_update`` on the expanded (m, D)
     stack: with H = B E^T (E the column selector), S = sigma^2 I + B P12 B^T
-    is a rank-12 perturbation of the identity, so by Woodbury every
-    factorization collapses to (12, 12):
+    is a rank-12 perturbation of the identity, so every factorization
+    collapses to (12, 12).  We use the PUSH-THROUGH form, which never
+    inverts P12: with C = B^T B and c = B^T r,
 
-        M      = P12^-1 + B^T B / sigma^2
-        B'Sinv r = sigma^-2 P12^-1 M^-1 (B^T r)
-        G      = B^T Sinv B = sigma^-2 P12^-1 M^-1 (B^T B)   (symmetrized)
+        W      = sigma^2 I + C P12          (push-through: S^-1 B = B W^-T)
+        B^T Sinv r = W^-1 c
+        G      = B^T Sinv B = W^-1 C        (symmetrized)
         delta  = P[:, cols] (B^T Sinv r)
         P_new  = P - P[:, cols] G P[cols, :]
 
-    No m-dim QR/Cholesky at all — the previous path paid a full
+    Why push-through and not Woodbury-with-P12^-1: C P12 is a product of two
+    PSD matrices, so its spectrum is real and nonnegative and W's eigenvalues
+    are >= sigma^2 > 0 — W is invertible EVEN WHEN P12 IS EXACTLY SINGULAR.
+    That case is real: a zero-IMU-sample gap (sensor dropout) makes
+    augment_state append camera clones with identical pose and perfectly
+    correlated covariance, P12 goes rank-deficient, and the round-4
+    ``cholesky(P12)`` form NaN'd the whole filter
+    (tests/test_compat.py::test_imu_dropout_stays_finite).  The reference's
+    solve-based update (src/msckf.py:562-568) is regularized by sigma^2 I and
+    immune; this form restores that robustness while keeping every
+    factorization (12, 12).
+
+    No m-dim QR/Cholesky at all — the pre-round-4 path paid a full
     (848, 141) QR tier on ~45% of frames (measured: prune n_two ~ 90 =>
     ~450 true rows > the 2D tier).  Zeroed (masked) rows of B/r contribute
     nothing to B^T B / B^T r, so gating-excluded features are exact no-ops.
@@ -262,7 +275,6 @@ def apply_update_rank12(state: FilterState, params: MsckfParams, B, r, cols):
     """
     dtype = state.cov.dtype
     P = state.cov
-    inv_s2 = 1.0 / params.obs_noise
     eye12 = jnp.eye(12, dtype=dtype)
 
     Pc = P[:, cols]  # (D, 12)
@@ -270,15 +282,9 @@ def apply_update_rank12(state: FilterState, params: MsckfParams, B, r, cols):
     BtB = B.T @ B
     Btr = B.T @ r
 
-    L12 = jnp.linalg.cholesky(P12)
-    P12inv = jax.scipy.linalg.cho_solve((L12, True), eye12)
-    M = P12inv + inv_s2 * BtB
-    LM = jnp.linalg.cholesky((M + M.T) / 2.0)
-    Y = jax.scipy.linalg.cho_solve((LM, True), Btr)  # (12,)
-    Z = jax.scipy.linalg.cho_solve((LM, True), BtB)  # (12, 12)
-
-    bsr = inv_s2 * (P12inv @ Y)  # B^T Sinv r
-    G = inv_s2 * (P12inv @ Z)  # B^T Sinv B (up to rounding)
+    W = params.obs_noise * eye12 + BtB @ P12  # nonsymmetric, spectrum >= sigma^2
+    bsr = jnp.linalg.solve(W, Btr)  # B^T Sinv r
+    G = jnp.linalg.solve(W, BtB)  # B^T Sinv B (up to rounding)
     G = (G + G.T) / 2.0
 
     delta = Pc @ bsr  # (D,)

