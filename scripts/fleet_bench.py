@@ -60,9 +60,12 @@ def main():
     mode = f"decorrelated(stride={stride})" if decorrelated else "broadcast"
     print(f"source={source} T={T} mode={mode}")
 
-    variants = [("tiered", True)] + ([("plain-vmap", False)] if plain else [])
-    for label, tiered in variants:
-        step = make_fleet_step(cfg, tiered=tiered)
+    bucket = "--no-bucket" not in args
+    variants = [("tiered" + ("+bkt" if bucket else ""), True, bucket)]
+    if plain:
+        variants.append(("plain-vmap", False, False))
+    for label, tiered, bkt in variants:
+        step = make_fleet_step(cfg, tiered=tiered, bucket=bkt)
         for B in sizes:
             if decorrelated:
                 # instance b sees frames [stride*b, stride*b + T): divergent

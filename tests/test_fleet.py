@@ -59,6 +59,42 @@ def test_fleet_matches_single_instance():
     )
 
 
+def test_bucketed_stage_exact_dispatch():
+    """_bucketed_stage(st, pred, ...) == stage applied to predicated
+    instances and suffix_fn to the rest, for every trigger pattern shape
+    (0, 1, some, all) — the permute/slice/merge/unpermute bookkeeping."""
+    from uav_airvision_tpu.models.msckf.step import _bucketed_stage
+
+    B = 8
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+
+    def stage(st, pred_s):
+        # heavy path: per-instance select on its own predicate (like
+        # _prune_one's trigger select).  Contract: must agree with suffix_fn
+        # on non-predicated instances (identity here).
+        out = jnp.where(pred_s[:, None], st * 2.0, st)
+        return out, (10 + pred_s.astype(jnp.int32),)
+
+    def suffix(st):
+        return st, (jnp.zeros((st.shape[0],), jnp.int32),)
+
+    for pattern in [np.zeros(B, bool),
+                    np.eye(B, dtype=bool)[3],
+                    rng.random(B) < 0.4,
+                    np.ones(B, bool)]:
+        pred = jnp.asarray(pattern)
+        got, (outs,) = _bucketed_stage(x, pred, (pred,), stage, suffix, B)
+        want = np.where(pattern[:, None], np.asarray(x) * 2.0, np.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=0)
+        # outs land back in original instance order: every predicated
+        # instance went through the stage (11); others 10 (stage, inside a
+        # wider prefix) or 0 (suffix) — never 11.
+        outs = np.asarray(outs)
+        assert (outs[pattern] == 11).all()
+        assert np.isin(outs[~pattern], [0, 10]).all()
+
+
 def test_fleet_seed_fallback_fires_and_matches_single():
     """When an instance starves (temporal tracking collapses and the
     stereo-seed fallback predicate n_seed < stereo_seed_min_tracked fires),
@@ -161,7 +197,10 @@ def test_fleet_matches_vmapped_single_over_many_frames():
     """vio_step_fleet == per-instance single steps over a 20-step scan from
     DIVERGENT states: each instance sees different images/IMU so the
     batch-hoisted tier predicates (step.py backend_step_fleet) disagree
-    across the batch — the case the one-step homogeneous test can't cover."""
+    across the batch — the case the one-step homogeneous test can't cover.
+    Runs with bucket=True so the prefix-bucketed lost/prune dispatch
+    (_bucketed_stage) is exercised exactly where its permutation logic has
+    to be right: instances triggering on different frames."""
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from __graft_entry__ import _tiny_config, _frame
@@ -218,7 +257,7 @@ def test_fleet_matches_vmapped_single_over_many_frames():
     acc_mean = np.tile(np.array([0.05, 0.02, 9.8]), (n_inst, 1))
     state_f = init_fleet_state(cfg, gyro_bias, acc_mean, n_inst)
 
-    fleet_step = make_fleet_step(cfg)
+    fleet_step = make_fleet_step(cfg, bucket=True)
     ps_fleet = []
     for fr in frames:
         state_f, out = fleet_step(state_f, fr)

@@ -803,15 +803,91 @@ def _prune_one(state: FilterState, params: MsckfParams, config: Config,
     return keep, warn & trigger
 
 
+def _bucket_sizes(B: int):
+    """Static prefix widths for bucketed dispatch: powers of two up to B."""
+    s, out = 1, []
+    while s < B:
+        out.append(s)
+        s *= 2
+    out.append(B)
+    return out
+
+
+def _bucketed_stage(st, pred, aux, stage, suffix_fn, B: int):
+    """Run ``stage`` on ONLY the instances where ``pred`` is true, and the
+    cheap ``suffix_fn`` on the rest, with static shapes throughout:
+
+      1. stable-permute the batch so predicated instances form a prefix,
+      2. pick the smallest static prefix width S >= popcount(pred) from the
+         power-of-two ladder (a chain of lax.conds OUTSIDE any vmap, so
+         untaken widths truly do not execute),
+      3. stage() the S-prefix, suffix_fn() the (B-S)-suffix, concatenate,
+      4. invert the permutation.
+
+    Exact: per-instance stages commute with batch permutation, and
+    predicated instances always land inside the prefix.  This is the fix for
+    the decorrelated-fleet tier tax (VERDICT r4 #5): with B independent
+    streams the UNION of per-instance triggers fires almost every frame, so
+    batch-max gating made all B instances pay for stages only 1-2 of them
+    needed; here the non-triggering instances pay one gather/scatter
+    instead.  NOTE: permuting the batch axis is only communication-free on a
+    single device — keep ``bucket=False`` for mesh-sharded fleets (the
+    permutation would be an all-to-all over ICI every frame).
+
+    ``stage(st_S, *aux_S) -> (st_S, (outs...))`` with (S,)-leading outs;
+    ``suffix_fn(st_R) -> (st_R, (outs...))`` shape-polymorphic in R.
+    CONTRACT: suffix_fn must agree with stage on NON-predicated instances
+    (a non-predicated instance can land inside the prefix when the ladder
+    rounds h up, so either path may process it).
+    """
+    perm = jnp.argsort(jnp.logical_not(pred), stable=True)
+    inv = jnp.argsort(perm)
+    h = jnp.sum(pred.astype(jnp.int32))
+    stp = jax.tree.map(lambda x: x[perm], st)
+    auxp = tuple(a[perm] for a in aux)
+
+    def for_size(S):
+        def run(stp):
+            pre = jax.tree.map(lambda x: x[:S], stp)
+            suf = jax.tree.map(lambda x: x[S:], stp)
+            pre2, outs_pre = stage(pre, *(a[:S] for a in auxp))
+            suf2, outs_suf = suffix_fn(suf)
+            merged = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), pre2, suf2)
+            outs = tuple(jnp.concatenate([a, b])
+                         for a, b in zip(outs_pre, outs_suf))
+            return merged, outs
+        return run
+
+    sizes = _bucket_sizes(B)
+
+    def pick(i):
+        if sizes[i] == B:
+            return for_size(B)
+        return lambda s: lax.cond(h <= sizes[i], for_size(sizes[i]),
+                                  pick(i + 1), s)
+
+    merged, outs = pick(0)(stp)
+    merged = jax.tree.map(lambda x: x[inv], merged)
+    return merged, tuple(a[inv] for a in outs)
+
+
 def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
-                       params: MsckfParams, config: Config):
+                       params: MsckfParams, config: Config,
+                       bucket: bool = False):
     """Batched ``backend_step`` over a leading instance axis with
     batch-hoisted size tiers.  Semantically identical to
     ``vmap(backend_step)`` (same masked math; tier choices only ever widen),
     but the steady-state cost is the SMALL tier once, not every tier
-    summed."""
+    summed.
+
+    ``bucket=True`` additionally dispatches the lost-feature and prune
+    stages on a permuted static prefix of just the instances that need them
+    (see _bucketed_stage) — the decorrelated-fleet fast path.  Single-device
+    fleets only; keep False under a mesh."""
     cap = config.capacity
     T1, T2 = update_tiers(cap.state_dim)
+    B = int(bframe.timestamp.shape[0])
 
     def seg1(prop_tier):
         def run(state, frame):
@@ -843,76 +919,111 @@ def backend_step_fleet(bstate: FilterState, bframe: FrameInput,
     n_cand = jax.vmap(_count_lost_candidates)(rstate)
     rows_sum, rows_max = jax.vmap(_lost_rows_bound)(rstate)
     cap1500 = jnp.asarray(1500, jnp.int32)
-    lean_ok = ((jnp.max(n_cand) <= SMALL_LOST)
-               & (jnp.max(rows_max) <= GATE_TIER)
-               & (jnp.max(rows_sum) <= T1))
-    mid_ok = (jnp.max(n_cand) <= SMALL_LOST) & (jnp.max(rows_sum) <= T2)
 
-    def rl(L, update_tier, gate_tier):
-        def run(st):
-            return jax.vmap(
-                lambda s: _remove_lost_once(s, params, config, cap1500, L,
-                                            update_tier=update_tier,
-                                            gate_tier=gate_tier)
-            )(st)
-        return run
+    def lost_stage(st, n_cand_s, rows_sum_s, rows_max_s):
+        """Tiered remove_lost (incl. the overflow second pass) over a
+        (possibly prefix-sized) batch.  Returns (st, (warn, n_over, rows))."""
+        S = n_cand_s.shape[0]
+        lean_ok = ((jnp.max(n_cand_s) <= SMALL_LOST)
+                   & (jnp.max(rows_max_s) <= GATE_TIER)
+                   & (jnp.max(rows_sum_s) <= T1))
+        mid_ok = ((jnp.max(n_cand_s) <= SMALL_LOST)
+                  & (jnp.max(rows_sum_s) <= T2))
 
-    def rl_none(st):
-        B = n_cand.shape[0]
-        zero = jnp.zeros((B,), jnp.int32)
-        return (jax.vmap(_drop_lost_short)(st), jnp.zeros((B,), bool), zero,
-                zero)
+        def rl(L, update_tier, gate_tier):
+            def run(st):
+                return jax.vmap(
+                    lambda s: _remove_lost_once(s, params, config, cap1500, L,
+                                                update_tier=update_tier,
+                                                gate_tier=gate_tier)
+                )(st)
+            return run
 
-    rstate, warn1, n_over1, rows1 = lax.cond(
-        jnp.max(n_cand) == 0, rl_none,
-        lambda st0: lax.cond(
-            lean_ok, rl(SMALL_LOST, "t1", "small"),
-            lambda st: lax.cond(
-                mid_ok, rl(SMALL_LOST, "t2", "full"),
-                rl(cap.max_lost_per_frame, "full", "full"), st),
-            st0),
-        rstate,
-    )
+        def rl_none(st):
+            zero = jnp.zeros((S,), jnp.int32)
+            return (jax.vmap(_drop_lost_short)(st), jnp.zeros((S,), bool),
+                    zero, zero)
 
-    def second(st):
-        st2, w2, n2, _ = jax.vmap(
-            lambda s, r1: _remove_lost_once(
-                s, params, config, (1500 - r1).astype(jnp.int32),
-                cap.max_lost_per_frame, update_tier="full", gate_tier="full")
-        )(st, rows1)
-        return st2, w2, n2
+        st, warn1, n_over1, rows1 = lax.cond(
+            jnp.max(n_cand_s) == 0, rl_none,
+            lambda st0: lax.cond(
+                lean_ok, rl(SMALL_LOST, "t1", "small"),
+                lambda st_: lax.cond(
+                    mid_ok, rl(SMALL_LOST, "t2", "full"),
+                    rl(cap.max_lost_per_frame, "full", "full"), st_),
+                st0),
+            st,
+        )
 
-    def skip2(st):
-        B = n_over1.shape[0]
-        return st, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32)
+        def second(st):
+            st2, w2, n2, _ = jax.vmap(
+                lambda s, r1: _remove_lost_once(
+                    s, params, config, (1500 - r1).astype(jnp.int32),
+                    cap.max_lost_per_frame, update_tier="full",
+                    gate_tier="full")
+            )(st, rows1)
+            return st2, w2, n2
 
-    rstate, warn2, n_over2 = lax.cond(
-        jnp.any(n_over1 > 0), second, skip2, rstate)
-    warn_lost = warn1 | warn2
+        def skip2(st):
+            return st, jnp.zeros((S,), bool), jnp.zeros((S,), jnp.int32)
+
+        st, warn2, n_over2 = lax.cond(
+            jnp.any(n_over1 > 0), second, skip2, st)
+        return st, (warn1 | warn2, n_over2, rows1)
+
+    def lost_suffix(st):
+        """Instances with zero >=3-obs candidates only drop short tracks."""
+        S = st.cov.shape[0]
+        zero = jnp.zeros((S,), jnp.int32)
+        return (jax.vmap(_drop_lost_short)(st), (jnp.zeros((S,), bool), zero,
+                                                 zero))
+
+    if bucket and B > 1:
+        rstate, (warn_lost, n_over2, rows1) = _bucketed_stage(
+            rstate, n_cand > 0, (n_cand, rows_sum, rows_max),
+            lost_stage, lost_suffix, B)
+    else:
+        rstate, (warn_lost, n_over2, rows1) = lost_stage(
+            rstate, n_cand, rows_sum, rows_max)
 
     # ---- prune: hoisted trigger + tier ------------------------------------
     trigger, n_two = jax.vmap(
         lambda s: _prune_trigger_count(s, config))(rstate)
-    prune_small = jnp.max(n_two) <= SMALL_PRUNE
 
-    def pr(Kp, update_tier):
-        def run(st):
-            return jax.vmap(
-                lambda s, t: _prune_one(s, params, config, t, Kp, update_tier)
-            )(st, trigger)
-        return run
+    def prune_stage(st, trigger_s, n_two_s):
+        S = trigger_s.shape[0]
+        prune_small = jnp.max(n_two_s) <= SMALL_PRUNE
 
-    def skip_pr(st):
-        return st, jnp.zeros(trigger.shape, bool)
+        def pr(Kp, update_tier):
+            def run(st):
+                return jax.vmap(
+                    lambda s, t: _prune_one(s, params, config, t, Kp,
+                                            update_tier)
+                )(st, trigger_s)
+            return run
 
-    rstate, warn3 = lax.cond(
-        jnp.any(trigger),
-        lambda st: lax.cond(
-            prune_small, pr(SMALL_PRUNE, "t2"),
-            pr(min(cap.max_prune_feats, cap.max_map_features), "full"), st),
-        skip_pr,
-        rstate,
-    )
+        def skip_pr(st):
+            return st, jnp.zeros((S,), bool)
+
+        st, warn = lax.cond(
+            jnp.any(trigger_s),
+            lambda st_: lax.cond(
+                prune_small, pr(SMALL_PRUNE, "t2"),
+                pr(min(cap.max_prune_feats, cap.max_map_features), "full"),
+                st_),
+            skip_pr,
+            st,
+        )
+        return st, (warn,)
+
+    def prune_suffix(st):
+        return st, (jnp.zeros((st.cov.shape[0],), bool),)
+
+    if bucket and B > 1:
+        rstate, (warn3,) = _bucketed_stage(
+            rstate, trigger, (trigger, n_two), prune_stage, prune_suffix, B)
+    else:
+        rstate, (warn3,) = prune_stage(rstate, trigger, n_two)
 
     # ---- outputs, online reset, per-instance active select ----------------
     def finish(state, frame, w):

@@ -78,7 +78,8 @@ def vio_step(state: VioState, frame: VioFrame, fparams: FrontendParams,
 
 
 def vio_step_fleet(bstate: VioState, bframe: VioFrame, fparams: FrontendParams,
-                   mparams: MsckfParams, config: Config):
+                   mparams: MsckfParams, config: Config,
+                   bucket: bool = False):
     """Batched VIO step over a leading instance axis, with every size-tier /
     branch decision hoisted to batch-level lax.conds OUTSIDE the vmap (under
     vmap a cond lowers to select and both branches execute — the round-2
@@ -141,7 +142,8 @@ def vio_step_fleet(bstate: VioState, bframe: VioFrame, fparams: FrontendParams,
         feat_mask=fe_out.mask,
         active=bframe.active,
     )
-    filt, out = backend_step_fleet(bstate.filter, backend_frame, mparams, config)
+    filt, out = backend_step_fleet(bstate.filter, backend_frame, mparams,
+                                   config, bucket=bucket)
     return VioState(frontend=fe_state, filter=filt), out
 
 

@@ -52,7 +52,8 @@ def init_fleet_state(config: Config, gyro_bias, acc_mean, n: int) -> VioState:
     return jax.vmap(one)(jnp.asarray(gyro_bias), jnp.asarray(acc_mean))
 
 
-def make_fleet_step(config: Config, tiered: bool = True):
+def make_fleet_step(config: Config, tiered: bool = True,
+                    bucket: bool = False):
     """Returns a jitted step over a leading instance axis:
     step(batched_state, batched_frame) -> (batched_state, batched_out).
     Shardings propagate from the input placement (see place_fleet).
@@ -61,14 +62,20 @@ def make_fleet_step(config: Config, tiered: bool = True):
     (``vio_step_fleet``): size-tier and branch decisions run as batch-level
     conds outside the vmap.  ``tiered=False`` is the plain vmapped
     single-instance step (the round-2 measured-anti-scaling baseline, kept
-    for comparison)."""
+    for comparison).
+
+    ``bucket=True`` adds prefix-bucketed dispatch of the lost/prune stages
+    (exact; see msckf.step._bucketed_stage) — the decorrelated-fleet fast
+    path for SINGLE-DEVICE fleets.  Leave False when sharding over a mesh:
+    the batch permutation would turn into a per-frame all-to-all."""
     config = fleet_config(config) if tiered else config
     fparams = make_frontend_params(config)
     mparams = make_params(config)
 
     if tiered:
         def step(bstate, bframe):
-            return vio_step_fleet(bstate, bframe, fparams, mparams, config)
+            return vio_step_fleet(bstate, bframe, fparams, mparams, config,
+                                  bucket=bucket)
 
         return with_highest_precision(jax.jit(step))
 
@@ -93,20 +100,27 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "fleet") -> Mesh:
 
 def run_fleet(config: Config, frames: VioFrame, gyro_bias, acc_mean,
               mesh: Optional[Mesh] = None, state: VioState = None,
-              axis: str = "fleet", tiered: bool = True):
+              axis: str = "fleet", tiered: bool = True,
+              bucket: Optional[bool] = None):
     """Scan the fleet step over time: every leaf of ``frames`` has shape
     (T, n_instances, ...).  State and frames are sharded over the mesh's
-    fleet axis; the scan keeps all compute on-device."""
+    fleet axis; the scan keeps all compute on-device.
+
+    ``bucket`` defaults to True for single-device runs (no mesh) and False
+    under a mesh (the prefix permutation would be an all-to-all)."""
     n = frames.timestamp.shape[1]
     if state is None:
         state = init_fleet_state(config, gyro_bias, acc_mean, n)
+    if bucket is None:
+        bucket = mesh is None
     config = fleet_config(config) if tiered else config
     fparams = make_frontend_params(config)
     mparams = make_params(config)
 
     if tiered:
         def vstep(s, f):
-            return vio_step_fleet(s, f, fparams, mparams, config)
+            return vio_step_fleet(s, f, fparams, mparams, config,
+                                  bucket=bucket)
     else:
         def step(s, f):
             return vio_step(s, f, fparams, mparams, config)
