@@ -94,6 +94,14 @@ def main():
     from uav_airvision_tpu.models.msckf.state import make_params
 
     config = euroc_config()
+    # experiment hook: BENCH_FRONTEND='{"lk_temporal_levels": 0}' overrides
+    # frontend fields for A/B fps runs without editing config defaults
+    if os.environ.get("BENCH_FRONTEND"):
+        import dataclasses
+        import json as _json
+        over = _json.loads(os.environ["BENCH_FRONTEND"])
+        config = dataclasses.replace(
+            config, frontend=dataclasses.replace(config.frontend, **over))
     frames, pb, source = build_frames(config, n_frames)
     n = int(frames.timestamp.shape[0])
 

@@ -22,7 +22,7 @@ OFFSETS = [1, 5, 10, 15, 20, 30, 40]
 
 
 def run_synthetic_suite(duration, csv_path, seeds=(7, 13), name_suffix="",
-                        strict_easy_resets=False):
+                        strict_easy_resets=False, long_horizon=None):
     """EuRoC-proxy evaluation grid: no real EuRoC data reaches this machine
     (zero egress), so the accuracy evidence comes from the hardened
     simulator — 6-DoF EuRoC-matched motion presets x layered multi-depth
@@ -32,7 +32,7 @@ def run_synthetic_suite(duration, csv_path, seeds=(7, 13), name_suffix="",
     import jax
     import jax.numpy as jnp
 
-    from uav_airvision_tpu.config import euroc_config
+    from uav_airvision_tpu.config import euroc_config, long_horizon_config
     from uav_airvision_tpu.evaluation.metrics import ate, rte, write_metrics_summary
     from uav_airvision_tpu.evaluation.plots import (
         per_sequence_artifacts, plot_summary)
@@ -42,7 +42,11 @@ def run_synthetic_suite(duration, csv_path, seeds=(7, 13), name_suffix="",
     from uav_airvision_tpu.streaming.prebatch import prebatch_imu
     from uav_airvision_tpu.utils.trajectory import TrajectoryWriter
 
-    config = euroc_config()
+    # >60 s missions default to the long-horizon preset (3-level temporal
+    # LK; see config.long_horizon_config docstring for the measured trade)
+    if long_horizon is None:
+        long_horizon = duration > 60.0
+    config = long_horizon_config() if long_horizon else euroc_config()
     rows = []
     summary = []  # (name, ate_pct, rte_pct) for the repo-level bar charts
     for preset, kw in EUROC_MOTION_PRESETS.items():
@@ -158,7 +162,11 @@ def main(argv=None):
     from uav_airvision_tpu.models.vio import run_sequence
     from uav_airvision_tpu.utils.trajectory import TrajectoryWriter
 
-    config = euroc_config()
+    # >60 s missions default to the long-horizon preset (3-level temporal
+    # LK; see config.long_horizon_config docstring for the measured trade)
+    if long_horizon is None:
+        long_horizon = duration > 60.0
+    config = long_horizon_config() if long_horizon else euroc_config()
     rows = []
     for seq in args.sequences:
         path = os.path.join(args.root, seq)

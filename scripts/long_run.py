@@ -37,14 +37,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from uav_airvision_tpu.config import euroc_config
+    from uav_airvision_tpu.config import long_horizon_config
     from uav_airvision_tpu.evaluation.metrics import ate, rte
     from uav_airvision_tpu.models.vio import VioFrame, run_sequence
     from uav_airvision_tpu.simulation.world import (
         EUROC_MOTION_PRESETS, StereoWorld, Trajectory6DoF)
     from uav_airvision_tpu.streaming.prebatch import prebatch_imu
 
-    config = euroc_config()
+    config = long_horizon_config()
     world = StereoWorld(config, seed=seed,
                         trajectory=Trajectory6DoF(**EUROC_MOTION_PRESETS[preset]),
                         scene="layered", photometric=True)

@@ -184,6 +184,13 @@ class FrontendConfig:
     # pyramid 0.00512 m ATE; hard-motion preset head-to-head re-validated
     # with this default (see PARITY.md round-4 table).  Set 0 to restore the
     # full reference pyramid.
+    #
+    # LONG-HORIZON CAVEAT (round-5 measured, PARITY.md): at EuRoC length
+    # (180 s) on the medium-motion preset the truncated search range lets a
+    # slow drift accumulate that 20 s runs never see — 0.238 m vs the
+    # reference's 0.185 (ratio 1.29); 3 levels measures 0.173 m (ratio
+    # 0.93, BETTER than the reference) at ~8% fps (552 -> 506).  Use
+    # ``long_horizon_config()`` (or set 3 here) for missions beyond ~60 s.
     lk_temporal_levels: int = 2
 
     @property
@@ -353,3 +360,15 @@ class Config:
 def euroc_config(**overrides) -> Config:
     """The EuRoC default configuration (reference ConfigEuRoC)."""
     return dataclasses.replace(Config(), **overrides)
+
+
+def long_horizon_config(**overrides) -> Config:
+    """EuRoC defaults tuned for missions beyond ~60 s: a 3-level temporal
+    LK pyramid.  The 2-level fast default accumulates a slow medium-motion
+    drift that only shows at EuRoC length (measured, 180 s medium preset:
+    0.238 m vs 0.173 m here vs 0.185 m reference — PARITY.md round-5), at
+    ~8% single-chip fps (552 -> 506 frames/s).  Everything else matches
+    ``euroc_config``."""
+    cfg = euroc_config(**overrides)
+    return dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, lk_temporal_levels=3))

